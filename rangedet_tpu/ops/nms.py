@@ -1,0 +1,179 @@
+"""On-device (weighted) NMS — TPU-native replacement of the reference's
+host-side C++ WNMS ``processing_cxx.wnms_4c`` (operator_cxx/src_cxx/nms.h:452-577)
+and the CUDA ``mx.sym.contrib.NMS3D`` (operator_cxx/contrib/nms_3d.cu:380-534).
+
+The reference runs inference on GPU, syncs every frame to the host, and runs a
+sequential greedy weighted-NMS in C++ — the per-frame host round-trip is its
+throughput bottleneck (tools/test.py:176-234). Here the greedy sweep becomes a
+fixed-length ``lax.scan`` (``max_keep`` rounds) over score-sorted candidates,
+entirely on device, so decode → NMS → final boxes is one fused XLA program.
+
+Weighted-NMS semantics replicated from wnms_4c:
+  * candidates processed in descending score order;
+  * the top survivor suppresses every remaining candidate with IoU ≥ thresh
+    (0.1) and collects *voters*: itself plus remaining candidates with
+    IoU > thresh_vote (0.5);
+  * voters whose yaw deviates from the voters' median yaw by ≥ 0.3 rad
+    (mod 2π, nms.h:541-545) are rejected; the median uses the reference's
+    tie-break: ≤ 2 voters → survivor's yaw; an even count inserts the
+    survivor's yaw before taking the middle element (nms.h:531-540);
+  * the output row is the score-weighted average of the voters' 11-dim
+    geometry [8 corners, yaw, bottom, height], plus the survivor's score.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import iou_bev_corners
+
+YAW_REJECT = 0.3
+TWO_PI = 2.0 * 3.1415926  # matches the constant in nms.h:542
+
+
+def _det_iou(dets11: jnp.ndarray, one: jnp.ndarray, iou_3d: bool) -> jnp.ndarray:
+    """IoU of one 11-dim det against all: (K, 11), (11,) -> (K,)."""
+    corners = dets11[:, :8].reshape(-1, 4, 2)
+    one_c = one[:8].reshape(4, 2)
+    bev = iou_bev_corners(one_c[None], corners)
+    if not iou_3d:
+        return bev
+    # volumetric IoU with z extents [bottom, bottom + height] (nms.h:172-184)
+    from .boxes import polygon_area
+
+    a0, h0 = one[9], one[10]
+    a1, h1 = dets11[:, 9], dets11[:, 10]
+    z_ov = jnp.maximum(0.0, jnp.minimum(a0 + h0, a1 + h1) - jnp.maximum(a0, a1))
+    s_one = jnp.abs(polygon_area(one_c))
+    s_all = jnp.abs(polygon_area(corners))
+    inter_bev = bev * (s_one + s_all) / (1.0 + bev)  # recover inter from IoU
+    inter = inter_bev * z_ov
+    union = s_one * h0 + s_all * h1 - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+def _median_yaw(
+    voters: jnp.ndarray, yaw: jnp.ndarray, yaw_i: jnp.ndarray
+) -> jnp.ndarray:
+    """Median voter yaw with the reference's tie-breaks (nms.h:527-540)."""
+    K = yaw.shape[0]
+    n = jnp.sum(voters.astype(jnp.int32))
+    sorted_yaw = jnp.sort(jnp.where(voters, yaw, jnp.inf))
+
+    odd_median = sorted_yaw[jnp.clip(n // 2, 0, K - 1)]
+    # even count: conceptually insert yaw_i into the sorted list, take index n/2
+    t = jnp.sum((sorted_yaw < yaw_i) & (jnp.arange(K) < n))
+    k = n // 2
+    even_median = jnp.where(
+        k < t,
+        sorted_yaw[jnp.clip(k, 0, K - 1)],
+        jnp.where(k == t, yaw_i, sorted_yaw[jnp.clip(k - 1, 0, K - 1)]),
+    )
+    median = jnp.where(n % 2 == 1, odd_median, even_median)
+    return jnp.where(n <= 2, yaw_i, median)
+
+
+def weighted_nms(
+    dets11: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    thresh_vote: float,
+    max_keep: int,
+    iou_3d: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted NMS over 11-dim dets.
+
+    Args:
+      dets11: (K, 11) [8 corners, yaw, bottom, height].
+      scores: (K,) confidence scores.
+      valid: (K,) bool candidate validity.
+      thresh: suppression IoU threshold (reference thr_lo, e.g. 0.1).
+      thresh_vote: voting IoU threshold (reference thr_hi, e.g. 0.5).
+      max_keep: static number of greedy rounds (post-NMS top-n).
+      iou_3d: use volumetric IoU (reference is_3d_iou; shipped configs False).
+
+    Returns:
+      out12: (max_keep, 12) weighted boxes [avg 11-dim, survivor score].
+      out_valid: (max_keep,) bool row validity.
+    """
+    K = dets11.shape[0]
+    dets11 = dets11.astype(jnp.float32)
+    scores = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+
+    order = jnp.argsort(-scores)
+    dets11 = dets11[order]
+    scores = scores[order]
+    valid = valid[order]
+    yaw = dets11[:, 8]
+    arange = jnp.arange(K)
+
+    def round_fn(suppressed, _):
+        alive = valid & ~suppressed
+        has_any = jnp.any(alive)
+        idx = jnp.argmax(alive)  # first alive in score order
+        one = dets11[idx]
+        score_i = scores[idx]
+        yaw_i = yaw[idx]
+
+        iou_row = _det_iou(dets11, one, iou_3d)
+        voters = (alive & (iou_row > thresh_vote)) | (arange == idx)
+
+        median = _median_yaw(voters, yaw, yaw_i)
+        yaw_ok = jnp.mod(jnp.abs(yaw - median), TWO_PI) < YAW_REJECT
+        w = jnp.where(voters & yaw_ok, jnp.maximum(scores, 0.0), 0.0)
+
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        avg11 = jnp.sum(w[:, None] * dets11, axis=0) / wsum
+        row = jnp.concatenate([avg11, score_i[None]])
+        row = jnp.where(has_any, row, 0.0)
+
+        new_suppressed = suppressed | (alive & (iou_row >= thresh)) | (arange == idx)
+        new_suppressed = jnp.where(has_any, new_suppressed, suppressed)
+        return new_suppressed, (row, has_any)
+
+    init = ~valid
+    _, (rows, row_valid) = jax.lax.scan(round_fn, init, None, length=max_keep)
+    return rows, row_valid
+
+
+def nms_3d(
+    boxes10: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    max_keep: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Classic greedy NMS over box10 dets — equivalent of contrib.NMS3D
+    (nms_3d.cu:380-534, only used when config wnms=False).
+
+    Returns (keep_boxes (max_keep, 10), keep_idx (max_keep,), valid (max_keep,));
+    keep_idx refers to positions in the *input* order.
+    """
+    K = boxes10.shape[0]
+    scores = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    order = jnp.argsort(-scores)
+    boxes10 = boxes10[order]
+    svalid = valid[order]
+    corners = boxes10[:, :8].reshape(-1, 4, 2)
+    arange = jnp.arange(K)
+
+    def round_fn(suppressed, _):
+        alive = svalid & ~suppressed
+        has_any = jnp.any(alive)
+        idx = jnp.argmax(alive)
+        iou_row = iou_bev_corners(corners[idx][None], corners)
+        new_suppressed = (
+            suppressed | (alive & (iou_row >= iou_thresh)) | (arange == idx)
+        )
+        new_suppressed = jnp.where(has_any, new_suppressed, suppressed)
+        return new_suppressed, (boxes10[idx], order[idx], has_any)
+
+    _, (kept, keep_idx, row_valid) = jax.lax.scan(
+        round_fn, ~svalid, None, length=max_keep
+    )
+    kept = jnp.where(row_valid[:, None], kept, 0.0)
+    keep_idx = jnp.where(row_valid, keep_idx, -1)
+    return kept, keep_idx, row_valid

@@ -1,0 +1,215 @@
+"""Rotated (BEV) IoU between convex quads — TPU-native replacement of the
+reference CUDA op ``mx.sym.contrib.RotatedIOU``
+(operator_cxx/contrib/rotated_iou-inl.h:388-523).
+
+Algorithm (same math as the reference, but fully vectorized with static shapes
+so XLA can map it onto the VPU):
+
+  intersection area of two convex quads =
+    area of the convex polygon whose vertices are
+      (a) the 16 pairwise edge-segment intersections, plus
+      (b) the corners of A inside B and corners of B inside A,
+    sorted by angle around their centroid (fan/shoelace area).
+
+Instead of ``atan2`` for the angular sort we use a *pseudo-angle* (a cheap
+piecewise-rational monotone function of the angle), which gives the identical
+ordering at a fraction of the transcendental cost.
+
+All functions operate on trailing dims and broadcast over leading dims.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import polygon_area
+
+EPS = 1e-8
+
+
+def _pseudo_angle(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """Monotone surrogate for atan2(dy, dx): maps angle to [0, 4)."""
+    denom = jnp.abs(dx) + jnp.abs(dy)
+    t = dx / jnp.maximum(denom, EPS)
+    return jnp.where(dy >= 0, 1.0 - t, 3.0 + t)
+
+
+def quad_intersection_area(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Intersection area of convex quads ``a`` and ``b``: (..., 4, 2) -> (...)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+
+    # --- (a) 16 edge-pair intersections --------------------------------------
+    # edge i of a: a[i] -> a[(i+1) % 4]
+    a0 = a  # (..., 4, 2)
+    a1 = jnp.roll(a, -1, axis=-2)
+    b0 = b
+    b1 = jnp.roll(b, -1, axis=-2)
+
+    # broadcast to (..., 4, 4): a-edge index i on axis -2, b-edge index j on axis -1
+    p0x, p0y = a0[..., :, None, 0], a0[..., :, None, 1]
+    p1x, p1y = a1[..., :, None, 0], a1[..., :, None, 1]
+    q0x, q0y = b0[..., None, :, 0], b0[..., None, :, 1]
+    q1x, q1y = b1[..., None, :, 0], b1[..., None, :, 1]
+
+    A1 = p1y - p0y
+    B1 = p0x - p1x
+    C1 = A1 * p0x + B1 * p0y
+    A2 = q1y - q0y
+    B2 = q0x - q1x
+    C2 = A2 * q0x + B2 * q0y
+
+    det = A1 * B2 - A2 * B1
+    nondegenerate = jnp.abs(det) > EPS
+    safe_det = jnp.where(nondegenerate, det, 1.0)
+    ix = (B2 * C1 - B1 * C2) / safe_det
+    iy = (A1 * C2 - A2 * C1) / safe_det
+
+    def _on_segment(x, y, sx0, sy0, sx1, sy1):
+        return (
+            (jnp.minimum(sx0, sx1) <= x + EPS)
+            & (jnp.maximum(sx0, sx1) >= x - EPS)
+            & (jnp.minimum(sy0, sy1) <= y + EPS)
+            & (jnp.maximum(sy0, sy1) >= y - EPS)
+        )
+
+    inter_valid = (
+        nondegenerate
+        & _on_segment(ix, iy, p0x, p0y, p1x, p1y)
+        & _on_segment(ix, iy, q0x, q0y, q1x, q1y)
+    )
+    batch_shape = ix.shape[:-2]  # broadcasted leading dims
+    inter_pts = jnp.stack([ix, iy], axis=-1).reshape(batch_shape + (16, 2))
+    inter_valid = inter_valid.reshape(batch_shape + (16,))
+
+    # --- (b) corner containment ----------------------------------------------
+    def _corners_inside(quad, pts):
+        # quad: (..., 4, 2); pts: (..., 4, 2) -> (..., 4) bool, same-side test
+        # (reference check_in_box2d_8pts, rotated_iou-inl.h:112-128)
+        c0 = quad[..., None, :, :]  # (..., 1, 4, 2)
+        c1 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
+        px = pts[..., :, None, 0]
+        py = pts[..., :, None, 1]
+        pos = (c1[..., 0] - c0[..., 0]) * (py - c0[..., 1]) - (
+            c1[..., 1] - c0[..., 1]
+        ) * (px - c0[..., 0])
+        sides = pos >= 0
+        return jnp.all(sides == sides[..., :1], axis=-1)
+
+    b_in_a = _corners_inside(a, b)  # (..., 4)
+    a_in_b = _corners_inside(b, a)
+
+    a_b = jnp.broadcast_to(a, batch_shape + a.shape[-2:])
+    b_b = jnp.broadcast_to(b, batch_shape + b.shape[-2:])
+    cand_pts = jnp.concatenate([inter_pts, b_b, a_b], axis=-2)  # (..., 24, 2)
+    cand_valid = jnp.concatenate(
+        [
+            inter_valid,
+            jnp.broadcast_to(b_in_a, batch_shape + (4,)),
+            jnp.broadcast_to(a_in_b, batch_shape + (4,)),
+        ],
+        axis=-1,
+    )  # (..., 24)
+
+    # --- centroid, angular sort, fan area ------------------------------------
+    cnt = jnp.sum(cand_valid, axis=-1)  # (...,)
+    wsum = jnp.sum(jnp.where(cand_valid[..., None], cand_pts, 0.0), axis=-2)
+    center = wsum / jnp.maximum(cnt, 1)[..., None]
+
+    dx = cand_pts[..., 0] - center[..., 0:1]
+    dy = cand_pts[..., 1] - center[..., 1:2]
+    keys = jnp.where(cand_valid, _pseudo_angle(dx, dy), jnp.inf)
+
+    order = jnp.argsort(keys, axis=-1)
+    sorted_pts = jnp.take_along_axis(cand_pts, order[..., None], axis=-2)
+
+    # fan triangulation from the first sorted vertex over consecutive pairs
+    p0 = sorted_pts[..., 0:1, :]
+    v = sorted_pts - p0  # (..., 24, 2)
+    v_next = jnp.roll(v, -1, axis=-2)
+    tri = v[..., 0] * v_next[..., 1] - v[..., 1] * v_next[..., 0]  # (..., 24)
+    k = jnp.arange(cand_pts.shape[-2])
+    tri_mask = (k + 1) < cnt[..., None]
+    area = jnp.sum(jnp.where(tri_mask, tri, 0.0), axis=-1)
+    return jnp.abs(area) / 2.0
+
+
+def iou_bev_corners(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """BEV IoU of quads given as corners: (..., 4, 2), (..., 4, 2) -> (...).
+
+    Mirrors iou_bev_8pts (rotated_iou-inl.h:477-493): returns 0 when either
+    quad is (near-)degenerate.
+    """
+    sa = jnp.abs(polygon_area(a))
+    sb = jnp.abs(polygon_area(b))
+    inter = quad_intersection_area(a, b)
+    iou = inter / jnp.maximum(sa + sb - inter, EPS)
+    return jnp.where((sa < EPS) | (sb < EPS), 0.0, iou)
+
+
+def iou_bev_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs BEV IoU: a (N, 4, 2), b (M, 4, 2) -> (N, M).
+
+    Equivalent of ``mx.nd.contrib.RotatedIOU`` in 8-pt mode.
+    """
+    return iou_bev_corners(a[:, None], b[None, :])
+
+
+def iou_3d_csa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3D IoU of csa7 boxes (..., 7) -> (...): BEV overlap × z-overlap.
+
+    Mirrors iou_3d (rotated_iou-inl.h:495-507) except the BEV footprint keeps
+    length along heading (the reference's xyzwlh variant swaps l/w for both
+    boxes; shipped configs only use the 'bev' mode).
+    """
+    from .boxes import csa_to_corners_bev
+
+    sa = a[..., 3] * a[..., 4] * a[..., 5]
+    sb = b[..., 3] * b[..., 4] * b[..., 5]
+    s_overlap = quad_intersection_area(csa_to_corners_bev(a), csa_to_corners_bev(b))
+    h_overlap = jnp.maximum(
+        0.0,
+        jnp.minimum(a[..., 2] + a[..., 5] / 2, b[..., 2] + b[..., 5] / 2)
+        - jnp.maximum(a[..., 2] - a[..., 5] / 2, b[..., 2] - b[..., 5] / 2),
+    )
+    inter = s_overlap * h_overlap
+    iou = inter / jnp.maximum(sa + sb - inter, EPS)
+    return jnp.where((sa < EPS) | (sb < EPS), 0.0, iou)
+
+
+def max_iou_vs_gt(
+    proposals_corners: jnp.ndarray,
+    gt_corners: jnp.ndarray,
+    topk_gt: int = 0,
+) -> jnp.ndarray:
+    """Max BEV IoU of each proposal against a GT set, with optional prefilter.
+
+    TPU-native equivalent of the train-graph IoU-target op
+    (operator_py/batch_rotated_iou.py:31-49): computes the (N, M) rotated IoU,
+    cleans NaN/Inf/out-of-range to 0, and maxes over GT.
+
+    Args:
+      proposals_corners: (N, 4, 2) decoded proposal BEV corners.
+      gt_corners: (M, 4, 2) GT BEV corners (padded boxes are tiny ⇒ IoU 0).
+      topk_gt: if > 0, compute the exact IoU only against the ``topk_gt``
+        nearest GT boxes (by BEV center distance) per proposal instead of all
+        M. IoU > 0 requires center distance < (diag_a + diag_b)/2, so with a
+        sufficiently large K (default config: 24) this is exact in practice at
+        a fraction of the cost — the reference pays the dense (N, 200) matrix.
+
+    Returns:
+      (N,) max IoU per proposal in [0, 1].
+    """
+    if topk_gt and topk_gt < gt_corners.shape[0]:
+        pc = proposals_corners.mean(axis=-2)  # (N, 2)
+        gc = gt_corners.mean(axis=-2)  # (M, 2)
+        d2 = jnp.sum((pc[:, None, :] - gc[None, :, :]) ** 2, axis=-1)  # (N, M)
+        _, idx = jax.lax.top_k(-d2, topk_gt)  # (N, K)
+        cand = gt_corners[idx]  # (N, K, 4, 2)
+        iou = iou_bev_corners(proposals_corners[:, None], cand)  # (N, K)
+    else:
+        iou = iou_bev_matrix(proposals_corners, gt_corners)  # (N, M)
+
+    iou = jnp.where(jnp.isfinite(iou), iou, 0.0)
+    iou = jnp.where((iou < 0.0) | (iou > 1.0), 0.0, iou)
+    return jnp.max(iou, axis=-1)

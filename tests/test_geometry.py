@@ -1,0 +1,138 @@
+"""Geometry core vs numpy oracles: box formats, decode, rotated IoU."""
+import numpy as np
+import jax.numpy as jnp
+
+from rangedet_tpu.ops import boxes, decode, rotated_iou
+from conftest import random_csa
+import oracles
+
+
+def test_csa_corners_roundtrip(rng):
+    csa = random_csa(rng, 32)
+    corners = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa)))
+    # center recovered
+    np.testing.assert_allclose(corners.mean(axis=1), csa[:, :2], atol=1e-4)
+    # edge lengths: corner0->1 is the length edge, 1->2 the width edge
+    l = np.linalg.norm(corners[:, 0] - corners[:, 1], axis=1)
+    w = np.linalg.norm(corners[:, 1] - corners[:, 2], axis=1)
+    np.testing.assert_allclose(l, csa[:, 3], rtol=1e-5)
+    np.testing.assert_allclose(w, csa[:, 4], rtol=1e-5)
+    # clockwise orientation (matches reference Decode3DBbox corner order)
+    area = np.asarray(boxes.polygon_area(jnp.asarray(corners)))
+    assert (area < 0).all()
+    np.testing.assert_allclose(-area, csa[:, 3] * csa[:, 4], rtol=1e-4)
+
+
+def test_corners3d_layout(rng):
+    csa = random_csa(rng, 8)
+    c8 = np.asarray(boxes.csa_to_corners3d(jnp.asarray(csa)))
+    assert c8.shape == (8, 8, 3)
+    np.testing.assert_allclose(
+        c8[:, :4, 2] - (csa[:, 2] - csa[:, 5] / 2)[:, None], 0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        c8[:, 4:, 2] - (csa[:, 2] + csa[:, 5] / 2)[:, None], 0, atol=1e-5
+    )
+    np.testing.assert_allclose(c8[:, :4, :2], c8[:, 4:, :2], atol=1e-6)
+
+
+def test_decode_matches_oracle(rng):
+    n = 256
+    deltas = rng.uniform(-1.5, 1.5, (n, 8)).astype(np.float32)
+    pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    got = np.asarray(decode.decode_boxes(jnp.asarray(deltas), jnp.asarray(pts)))
+    want = np.stack([oracles.decode_oracle(deltas[i], pts[i]) for i in range(n)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_encode_decode_roundtrip(rng):
+    """reg target for a point inside a box, decoded, must reproduce the box."""
+    from rangedet_tpu.ops import targets
+
+    csa = random_csa(rng, 16)
+    # a point near each box center (offset < box size)
+    pts = csa[:, :3] + rng.uniform(-0.3, 0.3, (16, 3)) * csa[:, 3:6]
+    assignment = np.arange(16, dtype=np.int32)
+    tgt = targets.reg_targets(jnp.asarray(pts), jnp.asarray(csa), jnp.asarray(assignment))
+    dec = np.asarray(decode.decode_boxes(tgt, jnp.asarray(pts)))
+    want = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa))).reshape(16, 8)
+    np.testing.assert_allclose(dec[:, :8], want, atol=1e-3)
+    np.testing.assert_allclose(dec[:, 8], csa[:, 2] - csa[:, 5] / 2, atol=1e-3)
+    np.testing.assert_allclose(dec[:, 9], csa[:, 2] + csa[:, 5] / 2, atol=1e-3)
+
+
+def test_box10_box11_box8_conversions(rng):
+    csa = random_csa(rng, 16)
+    corners = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa))).reshape(16, 8)
+    z0 = csa[:, 2] - csa[:, 5] / 2
+    z1 = csa[:, 2] + csa[:, 5] / 2
+    b10 = np.concatenate([corners, z0[:, None], z1[:, None]], axis=1)
+    b11 = np.asarray(boxes.box10_to_box11(jnp.asarray(b10)))
+    # yaw from the first edge must equal the box yaw (mod 2pi)
+    dyaw = np.mod(b11[:, 8] - csa[:, 6] + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(dyaw, 0, atol=1e-4)
+    b12 = np.concatenate([b11, rng.uniform(0, 1, (16, 1))], axis=1).astype(np.float32)
+    b8 = np.asarray(boxes.box12_to_box8_eval(jnp.asarray(b12)))
+    np.testing.assert_allclose(b8[:, :3], csa[:, :3], atol=1e-4)
+    np.testing.assert_allclose(b8[:, 3:6], csa[:, 3:6], rtol=1e-4)
+
+    csa_back = np.asarray(boxes.box10_to_csa7(jnp.asarray(b10)))
+    np.testing.assert_allclose(csa_back[:, :6], csa[:, :6], rtol=1e-4, atol=1e-4)
+
+
+def test_iou_identity_and_disjoint():
+    a = np.asarray(
+        boxes.csa_to_corners_bev(jnp.asarray([[0, 0, 0, 4, 2, 1, 0.3]], np.float32))
+    )
+    iou_self = np.asarray(rotated_iou.iou_bev_corners(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(iou_self, 1.0, atol=1e-5)
+    b = np.asarray(
+        boxes.csa_to_corners_bev(jnp.asarray([[100, 100, 0, 4, 2, 1, 1.0]], np.float32))
+    )
+    iou_dis = np.asarray(rotated_iou.iou_bev_corners(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(iou_dis, 0.0, atol=1e-7)
+
+
+def test_iou_axis_aligned_analytic():
+    # two axis-aligned boxes with known overlap
+    a = jnp.asarray([[0.0, 0, 0, 4, 2, 1, 0]], jnp.float32)
+    b = jnp.asarray([[1.0, 0.5, 0, 4, 2, 1, 0]], jnp.float32)
+    ca, cb = boxes.csa_to_corners_bev(a), boxes.csa_to_corners_bev(b)
+    inter = 3.0 * 1.5
+    want = inter / (8 + 8 - inter)
+    got = np.asarray(rotated_iou.iou_bev_corners(ca, cb))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_iou_matches_oracle_random(rng):
+    n = 64
+    # pairs near each other so many overlap
+    csa_a = random_csa(rng, n, center_scale=4.0)
+    csa_b = random_csa(rng, n, center_scale=4.0)
+    ca = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa_a)))
+    cb = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa_b)))
+    got = np.asarray(rotated_iou.iou_bev_corners(jnp.asarray(ca), jnp.asarray(cb)))
+    want = np.array([oracles.iou_bev_oracle(ca[i], cb[i]) for i in range(n)])
+    assert (want > 0.01).sum() > 10, "test setup should produce overlaps"
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_iou_matrix_and_topk_prefilter(rng):
+    n, m = 40, 24
+    csa_p = random_csa(rng, n, center_scale=6.0)
+    csa_g = random_csa(rng, m, center_scale=6.0)
+    cp = boxes.csa_to_corners_bev(jnp.asarray(csa_p))
+    cg = boxes.csa_to_corners_bev(jnp.asarray(csa_g))
+    dense = np.asarray(rotated_iou.max_iou_vs_gt(cp, cg, topk_gt=0))
+    topk = np.asarray(rotated_iou.max_iou_vs_gt(cp, cg, topk_gt=16))
+    np.testing.assert_allclose(dense, topk, atol=1e-5)
+
+
+def test_iou_3d_consistency():
+    a = jnp.asarray([[0.0, 0, 0, 4, 2, 2, 0.2]], jnp.float32)
+    got_same = np.asarray(rotated_iou.iou_3d_csa(a, a))
+    np.testing.assert_allclose(got_same, 1.0, atol=1e-5)
+    # same footprint, half z overlap
+    b = jnp.asarray([[0.0, 0, 1.0, 4, 2, 2, 0.2]], jnp.float32)
+    got = np.asarray(rotated_iou.iou_3d_csa(a, b))
+    np.testing.assert_allclose(got, 1.0 / 3.0, rtol=1e-4)

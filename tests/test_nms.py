@@ -1,0 +1,107 @@
+"""Weighted NMS and greedy NMS vs the numpy oracle of the C++ wnms_4c."""
+import numpy as np
+import jax.numpy as jnp
+
+from rangedet_tpu.ops import boxes, nms
+from conftest import random_csa
+import oracles
+
+
+def _make_dets(rng, n, scale=8.0):
+    csa = random_csa(rng, n, center_scale=scale)
+    corners = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa))).reshape(n, 8)
+    yaw = csa[:, 6:7]
+    bottom = (csa[:, 2] - csa[:, 5] / 2)[:, None]
+    height = csa[:, 5:6]
+    score = rng.uniform(0.05, 1.0, (n, 1)).astype(np.float32)
+    return np.concatenate([corners, yaw, bottom, height, score], axis=1).astype(
+        np.float32
+    )
+
+
+def test_wnms_matches_oracle(rng):
+    n = 60
+    dets = _make_dets(rng, n, scale=6.0)
+    # add clusters of near-duplicates to exercise voting
+    for k in range(0, 20, 4):
+        dets[k + 1 : k + 4] = dets[k]
+        dets[k + 1 : k + 4, :8] += rng.uniform(-0.15, 0.15, (3, 8))
+        dets[k + 1 : k + 4, 11] = rng.uniform(0.05, 1.0, 3)
+
+    want, want_inds = oracles.wnms_oracle(dets, thresh=0.1, thresh_vote=0.5)
+
+    out12, out_valid = nms.weighted_nms(
+        jnp.asarray(dets[:, :11]),
+        jnp.asarray(dets[:, 11]),
+        jnp.ones(n, bool),
+        thresh=0.1,
+        thresh_vote=0.5,
+        max_keep=n,
+    )
+    out12 = np.asarray(out12)[np.asarray(out_valid)]
+    assert out12.shape[0] == want.shape[0]
+    np.testing.assert_allclose(out12, want, rtol=1e-3, atol=1e-3)
+
+
+def test_wnms_respects_validity(rng):
+    n = 16
+    dets = _make_dets(rng, n)
+    valid = np.zeros(n, bool)
+    valid[:4] = True
+    out12, out_valid = nms.weighted_nms(
+        jnp.asarray(dets[:, :11]),
+        jnp.asarray(dets[:, 11]),
+        jnp.asarray(valid),
+        thresh=0.1,
+        thresh_vote=0.5,
+        max_keep=8,
+    )
+    assert np.asarray(out_valid).sum() <= 4
+    # survivors' scores must come from valid candidates
+    surv_scores = np.asarray(out12)[np.asarray(out_valid), 11]
+    assert np.isin(np.round(surv_scores, 5), np.round(dets[:4, 11], 5)).all()
+
+
+def test_wnms_exact_duplicates_average(rng):
+    """Identical boxes must suppress into one output equal to the input box."""
+    dets = _make_dets(rng, 1)
+    dets = np.repeat(dets, 5, axis=0)
+    dets[:, 11] = [0.9, 0.8, 0.7, 0.6, 0.5]
+    out12, out_valid = nms.weighted_nms(
+        jnp.asarray(dets[:, :11]),
+        jnp.asarray(dets[:, 11]),
+        jnp.ones(5, bool),
+        thresh=0.1,
+        thresh_vote=0.5,
+        max_keep=5,
+    )
+    ov = np.asarray(out_valid)
+    assert ov.sum() == 1
+    np.testing.assert_allclose(np.asarray(out12)[0, :11], dets[0, :11], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out12)[0, 11], 0.9, rtol=1e-5)
+
+
+def test_nms3d_greedy(rng):
+    n = 30
+    csa = random_csa(rng, n, center_scale=5.0)
+    corners = np.asarray(boxes.csa_to_corners_bev(jnp.asarray(csa))).reshape(n, 8)
+    z0 = (csa[:, 2] - csa[:, 5] / 2)[:, None]
+    z1 = (csa[:, 2] + csa[:, 5] / 2)[:, None]
+    b10 = np.concatenate([corners, z0, z1], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    kept, keep_idx, valid = nms.nms_3d(
+        jnp.asarray(b10), jnp.asarray(scores), jnp.ones(n, bool), 0.2, 10
+    )
+    kept, keep_idx, valid = map(np.asarray, (kept, keep_idx, valid))
+    k = valid.sum()
+    assert 0 < k <= 10
+    # kept set must be mutually non-overlapping above threshold
+    from rangedet_tpu.ops.rotated_iou import iou_bev_matrix
+
+    kc = kept[:k, :8].reshape(-1, 4, 2)
+    iou = np.array(iou_bev_matrix(jnp.asarray(kc), jnp.asarray(kc)))
+    iou[np.arange(k), np.arange(k)] = 0
+    assert (iou < 0.2 + 1e-5).all()
+    # scores of kept are in descending order
+    ks = scores[keep_idx[:k]]
+    assert (np.diff(ks) <= 1e-6).all()
