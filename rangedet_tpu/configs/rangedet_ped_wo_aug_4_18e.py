@@ -1,0 +1,18 @@
+"""Pedestrian-only, 1/4 data, 18 epochs, no augmentation
+(reference: config/rangedet/rangedet_ped_wo_aug_4_18e.py). Published baseline:
+WOD val Ped L1 3D-AP/APH 65.0/60.0 (README.md:74)."""
+from rangedet_tpu.configs.base import RangeDetConfig
+
+
+def get_config(is_train: bool) -> RangeDetConfig:
+    return RangeDetConfig(
+        name="rangedet_ped_wo_aug_4_18e",
+        is_train=is_train,
+        batch_image=2 if is_train else 1,
+        label_set=(2,),
+        class_names=("ped",),
+        filter_class=("TYPE_PEDESTRIAN",),
+        sampling_rate=4,
+        end_epoch=18,
+        lr_steps=(12, 15),
+    )

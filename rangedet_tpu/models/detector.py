@@ -1,0 +1,272 @@
+"""RangeDet detector: model assembly, on-device target generation, losses,
+and the fused inference path.
+
+Re-designs the reference's symbol builders (rangedet/symbol/head/builder.py)
+plus the *host-side* target pipeline (rangedet/core/input.py:276-607) as one
+jit-compiled program: the train step takes the raw 8-channel range image,
+per-pixel point cloud and padded GT boxes, and computes assignment, regression
+targets, range-conditioned pyramid slicing, IoU-aware cls targets and losses
+entirely on device. The reference burns many CPU threads per GPU on this; on
+TPU it is a rounding error next to the conv stack and removes the input
+bottleneck (SURVEY.md §7.3).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import assigner as ops_assigner
+from ..ops import boxes as ops_boxes
+from ..ops import decode as ops_decode
+from ..ops import nms as ops_nms
+from ..ops import rotated_iou as ops_iou
+from ..ops import targets as ops_targets
+from .dla_backbone import DLABackbone
+from .head import RangeRpnHead
+from . import losses as L
+
+
+class RangeDet(nn.Module):
+    """Backbone + head. __call__ returns per-level fp32 (cls_logits, deltas)."""
+
+    fpn_strides: Sequence[int] = (1, 2, 4)
+    num_classes: int = 1
+    num_reg_delta: int = 8
+    num_block: Any = None
+    num_filter: Any = None
+    meta_units: Any = None
+    add_data_sc: bool = True
+    cls_conv_layers: int = 4
+    cls_conv_channel: int = 128
+    reg_conv_layers: int = 4
+    reg_conv_channel: int = 128
+    dtype: Any = jnp.bfloat16
+    use_pallas_meta: bool = False
+
+    @nn.compact
+    def __call__(self, input_data, coords, train: bool = True):
+        feats = DLABackbone(
+            fpn_strides=tuple(self.fpn_strides),
+            num_block=self.num_block,
+            num_filter=self.num_filter,
+            meta_units=self.meta_units,
+            add_data_sc=self.add_data_sc,
+            dtype=self.dtype,
+            use_pallas_meta=self.use_pallas_meta,
+            name="backbone",
+        )(input_data, coords, train)
+        return RangeRpnHead(
+            num_classes=self.num_classes,
+            num_reg_delta=self.num_reg_delta,
+            cls_conv_layers=self.cls_conv_layers,
+            cls_conv_channel=self.cls_conv_channel,
+            reg_conv_layers=self.reg_conv_layers,
+            reg_conv_channel=self.reg_conv_channel,
+            dtype=self.dtype,
+            name="head",
+        )(feats, train)
+
+
+# =============================================================================
+# On-device target generation (train)
+# =============================================================================
+def build_train_targets(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
+    """Raw batch -> per-stride dense targets, all on device.
+
+    batch (channels-last, padded to cfg.pad_field):
+      input_data (B,H,W,8), coord (B,H,W,3), pc (B,H,W,3), mask (B,H,W,1),
+      unnorm_range (B,H,W,1), gt_csa (B,M,7), gt_class (B,M), gt_valid (B,M).
+
+    Returns dict with, per stride s: reg_target_s, reg_weight_s,
+    reg_norm_weight_s, mask_s (valid∧interval), pc_s; plus gt BEV corners per
+    class for the IoU target.
+    """
+    strides = tuple(cfg.fpn_strides)
+
+    def per_frame(pc, mask, unnorm_range, gt_csa, gt_class, gt_valid):
+        H, W = pc.shape[:2]
+        corners8 = ops_boxes.csa_to_corners3d(gt_csa)
+        assignment = ops_assigner.assign_points_to_boxes(
+            pc.reshape(-1, 3), corners8, mask.reshape(-1), box_valid=gt_valid
+        )
+        dense = ops_targets.generate_dense_targets(
+            pc, gt_csa, gt_class, assignment,
+            label_set=tuple(cfg.label_set),
+            reg_dim_weights=tuple(cfg.reg_dim_weights),
+        )
+        imasks = ops_targets.interval_masks(unnorm_range, cfg.fpn_intervals, strides)
+
+        out = {}
+        for s in strides:
+            m = imasks[s]
+            out[f"reg_target_s{s}"] = ops_targets.stride_slice(
+                dense["rpn_reg_target"] * m, s, w_axis=1
+            )
+            out[f"reg_weight_s{s}"] = ops_targets.stride_slice(
+                dense["rpn_reg_weight"] * m, s, w_axis=1
+            )
+            out[f"reg_norm_weight_s{s}"] = ops_targets.stride_slice(
+                dense["reg_normalize_weight"] * m, s, w_axis=1
+            )
+            out[f"mask_s{s}"] = ops_targets.stride_slice(mask * m, s, w_axis=1)
+            out[f"pc_s{s}"] = ops_targets.stride_slice(pc, s, w_axis=1)
+        return out
+
+    targets = jax.vmap(per_frame)(
+        batch["pc"], batch["mask"], batch["unnorm_range"],
+        batch["gt_csa"], batch["gt_class"], batch["gt_valid"],
+    )
+
+    # per-class GT BEV corners for the IoU-aware cls target; padded/foreign-
+    # class rows become degenerate (zero-size) quads => IoU 0, mirroring
+    # GetFixedLengthGTBbox's EPS-sized pad rows (input.py:250-273)
+    gt_bev = ops_boxes.csa_to_corners_bev(batch["gt_csa"])  # (B, M, 4, 2)
+    for k, label in enumerate(cfg.label_set):
+        keep = (batch["gt_class"].astype(jnp.int32) == label) & (
+            batch["gt_valid"].astype(bool)
+        )
+        targets[f"gt_corners_cls{k}"] = jnp.where(
+            keep[..., None, None], gt_bev, 0.0
+        )
+    return targets
+
+
+# =============================================================================
+# IoU-aware classification target (train graph, stop-gradient)
+# =============================================================================
+def iou_targets_per_level(
+    reg_deltas: List[jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    cfg,
+) -> List[jnp.ndarray]:
+    """Decode per-pixel boxes and compute max-IoU-vs-GT per class & level.
+
+    Mirrors RangeRpnHead.get_iou_target (builder.py:156-196); returns one
+    (B, H, W_s, num_classes) tensor per level, stop-gradiented.
+    """
+    out = []
+    for level, s in enumerate(cfg.fpn_strides):
+        delta = reg_deltas[level]  # (B, H, Ws, K*8)
+        B, H, Ws, _ = delta.shape
+        pc = targets[f"pc_s{s}"].reshape(B, -1, 3)
+        per_class = []
+        for k in range(cfg.num_classes):
+            d = delta[..., k * 8 : (k + 1) * 8].reshape(B, -1, 8)
+            decoded = ops_decode.decode_boxes(d, pc)  # (B, N, 10)
+            corners = ops_boxes.box10_to_corners_bev(decoded)
+            gt_c = targets[f"gt_corners_cls{k}"]  # (B, M, 4, 2)
+            iou = jax.vmap(
+                lambda p, g: ops_iou.max_iou_vs_gt(p, g, topk_gt=cfg.iou_topk_gt)
+            )(corners, gt_c)
+            per_class.append(iou.reshape(B, H, Ws))
+        out.append(jax.lax.stop_gradient(jnp.stack(per_class, axis=-1)))
+    return out
+
+
+# =============================================================================
+# Losses
+# =============================================================================
+def compute_losses(
+    cls_logits: List[jnp.ndarray],
+    reg_deltas: List[jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    cfg,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + per-level metrics, mirroring get_fpn_loss
+    (builder.py:268-348) with weights cls ×10, reg ×8 (config loss block)."""
+    iou_t = iou_targets_per_level(reg_deltas, targets, cfg)
+
+    metrics = {}
+    total = 0.0
+    for level, s in enumerate(cfg.fpn_strides):
+        cls_loss = L.vfl_cls_loss(
+            cls_logits[level],
+            iou_t[level],
+            targets[f"mask_s{s}"],
+            alpha=cfg.vfl_alpha,
+            gamma=cfg.vfl_gamma,
+        )
+        reg_loss = L.normalized_reg_loss(
+            reg_deltas[level],
+            targets[f"reg_target_s{s}"],
+            targets[f"reg_weight_s{s}"],
+            targets[f"reg_norm_weight_s{s}"],
+            smooth_l1_scalar=cfg.smooth_l1_scalar,
+            l1=cfg.l1_loss,
+        )
+        metrics[f"cls_loss_s{s}"] = cls_loss
+        metrics[f"reg_loss_s{s}"] = reg_loss
+        total = total + cfg.cls_loss_weight * cls_loss + cfg.reg_loss_weight * reg_loss
+    metrics["total_loss"] = total
+    return total, metrics
+
+
+# =============================================================================
+# Inference: sigmoid -> top-k foreground -> decode -> on-device weighted NMS
+# =============================================================================
+def run_inference(
+    cls_logits: List[jnp.ndarray],
+    reg_deltas: List[jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    cfg,
+) -> Dict[str, Any]:
+    """Fused prediction path, per class:
+      concat levels -> masked top-k (get_sorted_foreground equivalent,
+      operator_py/get_sorted_foreground.py:11-40) -> Decode3DBbox equivalent ->
+      on-device weighted NMS (replaces the per-frame host round-trip of
+      tools/test.py:176-234) -> box8_eval rows [cx,cy,cz,l,w,h,yaw,score].
+
+    batch must contain per-stride pc_s{s} and mask_s{s} (valid ∧ interval).
+    Returns {class_name: {"boxes": (B, post_nms, 8), "valid": (B, post_nms)}}.
+    """
+    B = cls_logits[0].shape[0]
+    scores_all, deltas_all = [], []
+    for level in range(len(cfg.fpn_strides)):
+        logit = cls_logits[level]  # (B, H, Ws, K)
+        delta = reg_deltas[level]  # (B, H, Ws, K*8)
+        K = cfg.num_classes
+        scores_all.append(jax.nn.sigmoid(logit).reshape(B, -1, K))
+        deltas_all.append(delta.reshape(B, -1, K, 8))
+    scores = jnp.concatenate(scores_all, axis=1)  # (B, N, K)
+    deltas = jnp.concatenate(deltas_all, axis=1)  # (B, N, K, 8)
+
+    pc = jnp.concatenate(
+        [batch[f"pc_s{s}"].reshape(B, -1, 3) for s in cfg.fpn_strides], axis=1
+    )
+    mask = jnp.concatenate(
+        [batch[f"mask_s{s}"].reshape(B, -1) for s in cfg.fpn_strides], axis=1
+    )
+
+    results = {}
+    for k, name in enumerate(cfg.class_names):
+        topk = min(cfg.device_topk.get(name, 4096), scores.shape[1])
+        post_n = cfg.post_nms_top_n[name]
+        min_score = cfg.min_score[name]
+
+        def per_frame(score_k, delta_k, pc_b, mask_b):
+            masked = jnp.where(mask_b > 0, score_k, 0.0)
+            top_scores, idx = jax.lax.top_k(masked, topk)
+            top_deltas = delta_k[idx]
+            top_pc = pc_b[idx]
+            box10 = ops_decode.decode_boxes(top_deltas, top_pc)
+            box11 = ops_boxes.box10_to_box11(box10)
+            valid = top_scores >= min_score
+            out12, out_valid = ops_nms.weighted_nms(
+                box11,
+                top_scores,
+                valid,
+                thresh=cfg.wnms_thr_lo,
+                thresh_vote=cfg.wnms_thr_hi,
+                max_keep=post_n,
+                iou_3d=cfg.wnms_is_3d,
+            )
+            return ops_boxes.box12_to_box8_eval(out12), out_valid
+
+        boxes8, valid = jax.vmap(per_frame)(
+            scores[..., k], deltas[:, :, k], pc, mask
+        )
+        results[name] = {"boxes": boxes8, "valid": valid}
+    return results

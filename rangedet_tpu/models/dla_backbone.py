@@ -1,0 +1,175 @@
+"""DLA-style backbone over the range image — Flax/NHWC re-design of the
+reference symbol builder (rangedet/symbol/backbone/dla_backbone.py:13-175).
+
+Key property preserved: the network downsamples the *width only* (strides
+(1,2) at res2a/res2/res3a/res3) — range images are 64 px tall and 2650 px
+wide — and re-aggregates with deconv "agg" nodes into per-stride outputs
+{1: agg3(+input skip), 2: agg2a, 4: agg2, 16: res3}.
+
+The Meta-Kernel replaces the first conv of a configurable unit (shipped
+config: res1_unit2) followed by a 1x1 aggregation conv
+(dla_backbone.py:59-103).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import BatchNorm, ConvNormRelu, DeconvNormRelu
+from .meta_kernel import MetaKernel
+
+DEFAULT_NUM_BLOCK = {
+    "res1": 2, "res2a": 3, "res2": 3, "res3a": 5, "res3": 5,
+    "agg1": 2, "agg2": 2, "agg2a": 1, "agg3": 2,
+}
+DEFAULT_NUM_FILTER = {
+    "res1": 64, "res2a": 64, "res2": 128, "res3a": 128, "res3": 128,
+    "agg1": 64, "agg2": 128, "agg2a": 64, "agg3": 64,
+}
+DEFAULT_META_UNITS = {
+    "res1_unit2": dict(channel_list=(32, 64)),
+}
+
+
+class BasicBlock(nn.Module):
+    """Residual basic block; first conv optionally replaced by a Meta-Kernel
+    (+BN+relu+1x1 agg conv+BN+relu), mirroring DLABackboneBuilder.basicblock /
+    meta_kernel_conv (dla_backbone.py:18-103)."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    proj: bool = False
+    meta_channel_list: Optional[Sequence[int]] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas_meta: bool = False
+
+    @nn.compact
+    def __call__(self, x, coords=None, train: bool = True):
+        ura = not train
+        if self.meta_channel_list is not None:
+            mk = MetaKernel(
+                channel_list=tuple(self.meta_channel_list),
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_meta,
+                name="meta_kernel",
+            )(x, coords)
+            mk = BatchNorm(ura, self.dtype, name="meta_bn")(mk)
+            mk = nn.relu(mk)
+            y = ConvNormRelu(
+                self.features, kernel=(1, 1), dtype=self.dtype,
+                use_running_average=ura, name="meta_agg",
+            )(mk)
+        else:
+            y = ConvNormRelu(
+                self.features, dtype=self.dtype, use_running_average=ura,
+                name="conv1",
+            )(x)
+
+        y = nn.Conv(
+            self.features, (3, 3), strides=self.strides, padding="SAME",
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv2",
+        )(y)
+        y = BatchNorm(ura, self.dtype, name="bn2")(y)
+
+        if self.proj:
+            sc = nn.Conv(
+                self.features, (1, 1), strides=self.strides, padding="SAME",
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name="sc_conv",
+            )(x)
+            sc = BatchNorm(ura, self.dtype, name="sc_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResStage(nn.Module):
+    """num_block BasicBlocks; unit1 projects (+stride), rest are identity
+    (dla_backbone.py:106-114)."""
+
+    name_key: str
+    num_block: int
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    meta_units: Mapping[str, dict] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas_meta: bool = False
+
+    @nn.compact
+    def __call__(self, x, coords=None, train: bool = True):
+        meta_units = self.meta_units or {}
+        for i in range(1, self.num_block + 1):
+            unit_name = f"{self.name_key}_unit{i}"
+            meta_cfg = meta_units.get(unit_name)
+            x = BasicBlock(
+                self.features,
+                strides=self.strides if i == 1 else (1, 1),
+                proj=(i == 1),
+                meta_channel_list=(
+                    meta_cfg["channel_list"] if meta_cfg else None
+                ),
+                dtype=self.dtype,
+                use_pallas_meta=self.use_pallas_meta,
+                name=unit_name,
+            )(x, coords, train)
+        return x
+
+
+class DLABackbone(nn.Module):
+    """Full backbone: returns {stride: NHWC feature} for the requested
+    fpn_strides (dla_backbone.py:130-161)."""
+
+    fpn_strides: Sequence[int] = (1, 2, 4)
+    num_block: Mapping[str, int] = None
+    num_filter: Mapping[str, int] = None
+    meta_units: Mapping[str, dict] = None
+    add_data_sc: bool = True
+    dtype: Any = jnp.bfloat16
+    use_pallas_meta: bool = False
+
+    @nn.compact
+    def __call__(self, data, coords, train: bool = True):
+        nb = dict(self.num_block or DEFAULT_NUM_BLOCK)
+        nf = dict(self.num_filter or DEFAULT_NUM_FILTER)
+        meta = self.meta_units if self.meta_units is not None else DEFAULT_META_UNITS
+
+        data = data.astype(self.dtype)
+
+        def res(name, x, strides, coords=None):
+            return ResStage(
+                name_key=name,
+                num_block=nb[name],
+                features=nf[name],
+                strides=strides,
+                meta_units=meta,
+                dtype=self.dtype,
+                use_pallas_meta=self.use_pallas_meta,
+                name=name,
+            )(x, coords, train)
+
+        def agg(name, x_const, x_up, deconv_kernel, deconv_strides):
+            up = DeconvNormRelu(
+                nf[name], deconv_kernel, deconv_strides, dtype=self.dtype,
+                use_running_average=not train, name=f"{name}_deconv",
+            )(x_up)
+            return res(name, x_const + up, (1, 1))
+
+        res1 = res("res1", data, (1, 1), coords)
+        res2a = res("res2a", res1, (1, 2))
+        res2 = res("res2", res2a, (1, 2))
+        res3a = res("res3a", res2, (1, 2))
+        res3 = res("res3", res3a, (1, 2))
+
+        agg2 = agg("agg2", res2, res3, (3, 8), (1, 4))
+        agg1 = agg("agg1", res1, res2, (3, 8), (1, 4))
+        agg2a = agg("agg2a", res2a, agg2, (3, 4), (1, 2))
+        agg3 = agg("agg3", agg1, agg2a, (3, 4), (1, 2))
+
+        if self.add_data_sc:
+            agg3 = jnp.concatenate([data, agg3], axis=-1)
+
+        out: Dict[int, jnp.ndarray] = {1: agg3, 2: agg2a, 4: agg2, 16: res3}
+        return [out[s] for s in self.fpn_strides]

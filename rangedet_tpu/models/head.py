@@ -1,0 +1,71 @@
+"""Per-level detection head towers — re-design of RangeRpnHead.get_fpn_output
+(rangedet/symbol/head/builder.py:198-266).
+
+Each FPN level gets its own cls and reg towers (4 × 3x3 conv-BN-relu @128 in
+the shipped configs) topped by 1x1 projections to ``num_classes`` logits and
+``num_classes * num_reg_delta`` box deltas. Outputs are cast to fp32 exactly
+like the reference (builder.py:257-261) — the decode/loss math is fp32.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import ConvNormRelu
+
+
+class RangeRpnHead(nn.Module):
+    num_classes: int = 1
+    num_reg_delta: int = 8
+    cls_conv_layers: int = 4
+    cls_conv_channel: int = 128
+    reg_conv_layers: int = 4
+    reg_conv_channel: int = 128
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = True
+    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        """feats: list of NHWC feature maps (one per FPN level).
+
+        Returns (cls_logits, reg_deltas): per level, fp32,
+        shapes (B, H, W_s, num_classes) and (B, H, W_s, num_classes * 8).
+        """
+        gauss = nn.initializers.normal(0.01)
+        cls_out, reg_out = [], []
+        for level, feat in enumerate(feats):
+            cls_feat = reg_feat = feat.astype(self.dtype)
+            for i in range(self.cls_conv_layers):
+                cls_feat = ConvNormRelu(
+                    self.cls_conv_channel,
+                    dtype=self.dtype,
+                    use_running_average=not train,
+                    kernel_init=gauss,
+                    name=f"cls_conv_{i}_lvl_{level}",
+                )(cls_feat)
+            for i in range(self.reg_conv_layers):
+                reg_feat = ConvNormRelu(
+                    self.reg_conv_channel,
+                    dtype=self.dtype,
+                    use_running_average=not train,
+                    kernel_init=gauss,
+                    name=f"reg_conv_{i}_lvl_{level}",
+                )(reg_feat)
+
+            cls_logit = nn.Conv(
+                self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+                param_dtype=jnp.float32, kernel_init=gauss,
+                name=f"cls_logit_lvl_{level}",
+            )(cls_feat)
+            reg_delta = nn.Conv(
+                self.num_classes * self.num_reg_delta, (1, 1), use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32, kernel_init=gauss,
+                name=f"reg_delta_lvl_{level}",
+            )(reg_feat)
+
+            cls_out.append(cls_logit.astype(jnp.float32))
+            reg_out.append(reg_delta.astype(jnp.float32))
+        return cls_out, reg_out

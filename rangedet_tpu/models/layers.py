@@ -1,0 +1,117 @@
+"""Small conv building blocks (Flax, NHWC channels-last — the TPU layout).
+
+Replaces the reference's mxnext symbol wrappers (mxnext/simple.py:123-580,
+mxnext/complicate.py:14-149): Flax *is* the wrapper, so only the fused
+conv-norm-relu combinators live here.
+
+Mixed precision: convs compute in ``dtype`` (bf16 by default on TPU) with fp32
+parameters; BatchNorm statistics are always computed in fp32 (the reference
+similarly keeps BN in fp16-safe mode and casts head logits back to fp32,
+rangedet/symbol/head/builder.py:257-261).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+BN_MOMENTUM = 0.9  # MXNet BatchNorm default, used by all reference configs
+BN_EPSILON = 1e-3
+
+
+class BatchNorm(nn.Module):
+    """fp32 BatchNorm wrapper: casts in/out around flax's BatchNorm so running
+    statistics and normalization happen in full precision regardless of the
+    compute dtype."""
+
+    use_running_average: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON,
+            dtype=jnp.float32,
+            axis_name=None,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class ConvNormRelu(nn.Module):
+    """3x3 (default) conv + BN + relu, the basic unit of backbone and head."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+    use_running_average: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class DeconvNormRelu(nn.Module):
+    """Transposed conv + BN + relu — the FPN aggregation upsampler.
+
+    The reference deconvs use kernel (3,8)/stride (1,4)/pad (1,2) and
+    (3,4)/(1,2)/(1,1) (rangedet/symbol/backbone/dla_backbone.py:144-151), both
+    of which are exactly XLA 'SAME' transposed-conv padding (out_w = in_w * s).
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    dtype: Dtype = jnp.bfloat16
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="deconv",
+        )(x)
+        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+def extract_patches_3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded 3x3 neighborhood gather: (B, H, W, C) -> (B, H, W, 9, C).
+
+    Equivalent of mx.symbol.im2col(kernel=3, pad=1) in NHWC
+    (rangedet/symbol/backbone/meta_kernel.py:16-38); border neighbors are 0,
+    matching the reference's zero padding. Implemented as 9 static slices —
+    free for XLA to fuse.
+    """
+    B, H, W, C = x.shape
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        pad[:, dy : dy + H, dx : dx + W, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    return jnp.stack(taps, axis=3)

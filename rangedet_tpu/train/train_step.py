@@ -1,0 +1,87 @@
+"""Jitted train / eval steps.
+
+The whole reference per-batch path — CPU target generation threads
+(utils/detection_input.py:147-178) + GPU forward/backward + Horovod allreduce
+(utils/detection_module.py:1089-1124) — becomes ONE jitted function: on-device
+target generation, forward, loss, backward, optimizer update. Data parallelism
+is GSPMD: batch arrays are sharded over the mesh's "data" axis (and optionally
+the range-image width over "model"), parameters are replicated, and XLA
+inserts the gradient all-reduce over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.detector import (
+    build_train_targets,
+    compute_losses,
+    run_inference,
+)
+from .state import TrainState
+
+
+def make_train_step(model, cfg, tx=None):
+    """Returns train_step(state, batch) -> (state, metrics), ready to jit."""
+
+    def loss_fn(params, batch_stats, batch):
+        targets = build_train_targets(batch, cfg)
+        (cls_logits, reg_deltas), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["input_data"],
+            batch["coord"],
+            True,
+            mutable=["batch_stats"],
+        )
+        total, metrics = compute_losses(cls_logits, reg_deltas, targets, cfg)
+        return total, (metrics, mut["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    """Returns eval_step(state, batch) -> {class: {boxes, valid}} running the
+    fused forward + decode + weighted-NMS path; batch must carry per-stride
+    pc_s{s} / mask_s{s} (built by build_eval_inputs)."""
+
+    def eval_step(state: TrainState, batch):
+        cls_logits, reg_deltas = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["input_data"],
+            batch["coord"],
+            False,
+        )
+        return run_inference(cls_logits, reg_deltas, batch, cfg)
+
+    return eval_step
+
+
+def build_eval_inputs(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
+    """Add per-stride pc/mask slices to a raw batch for inference — the eval
+    analogue of GenerateFPNTarget (valid ∧ range-interval masks, then width
+    stride slicing; rangedet/core/input.py:561-607)."""
+    from ..ops import targets as ops_targets
+
+    out = dict(batch)
+    strides = tuple(cfg.fpn_strides)
+
+    def per_frame(pc, mask, unnorm_range):
+        imasks = ops_targets.interval_masks(unnorm_range, cfg.fpn_intervals, strides)
+        o = {}
+        for s in strides:
+            o[f"pc_s{s}"] = ops_targets.stride_slice(pc, s, w_axis=1)
+            o[f"mask_s{s}"] = ops_targets.stride_slice(mask * imasks[s], s, w_axis=1)
+        return o
+
+    extra = jax.vmap(per_frame)(batch["pc"], batch["mask"], batch["unnorm_range"])
+    out.update(extra)
+    return out

@@ -1,0 +1,89 @@
+"""Model forward shapes, jitted train-step loss decrease, and the fused eval
+path on synthetic scenes — the single-device end-to-end slice."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rangedet_tpu.models.detector import RangeDet
+from rangedet_tpu.data.synthetic import make_batch
+from rangedet_tpu.train.schedule import build_optimizer
+from rangedet_tpu.train.state import create_train_state, param_count
+from rangedet_tpu.train.train_step import (
+    build_eval_inputs,
+    make_eval_step,
+    make_train_step,
+)
+from tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    batch_np = make_batch(cfg, batch_size=2, seed=0, num_boxes=4)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg.replace(base_lr=0.01, warmup_epochs=0), steps_per_epoch=100)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
+    return cfg, model, state, batch
+
+
+def test_forward_shapes(setup):
+    cfg, model, state, batch = setup
+    cls_logits, reg_deltas = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["input_data"], batch["coord"], False,
+    )
+    H, W = cfg.pad_field
+    for logit, delta, s in zip(cls_logits, reg_deltas, cfg.fpn_strides):
+        assert logit.shape == (2, H, W // s, 1)
+        assert delta.shape == (2, H, W // s, 8)
+        assert logit.dtype == jnp.float32
+    assert param_count(state) > 1e4
+
+
+def test_train_step_loss_decreases(setup):
+    cfg, model, state, batch = setup
+    step = jax.jit(make_train_step(model, cfg))
+    state1, m0 = step(state, batch)
+    first = float(m0["total_loss"])
+    losses = [first]
+    for _ in range(12):
+        state1, m = step(state1, batch)
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.7 * losses[0], f"loss did not decrease: {losses}"
+
+
+def test_train_step_deterministic(setup):
+    cfg, model, state, batch = setup
+    step = jax.jit(make_train_step(model, cfg))
+    _, m1 = step(state, batch)
+    _, m2 = step(state, batch)
+    assert float(m1["total_loss"]) == float(m2["total_loss"])
+
+
+def test_batch_stats_update(setup):
+    cfg, model, state, batch = setup
+    step = jax.jit(make_train_step(model, cfg))
+    new_state, _ = step(state, batch)
+    before = jax.tree.leaves(state.batch_stats)
+    after = jax.tree.leaves(new_state.batch_stats)
+    changed = any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+    assert changed, "BN running stats must update during training"
+
+
+def test_eval_step_runs(setup):
+    cfg, model, state, batch = setup
+    eval_batch = build_eval_inputs(batch, cfg)
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    out = eval_step(state, eval_batch)
+    assert set(out.keys()) == set(cfg.class_names)
+    boxes = np.asarray(out["veh"]["boxes"])
+    valid = np.asarray(out["veh"]["valid"])
+    assert boxes.shape == (2, cfg.post_nms_top_n["veh"], 8)
+    assert valid.shape == (2, cfg.post_nms_top_n["veh"])
+    # finite outputs on valid rows
+    assert np.isfinite(boxes[valid]).all()

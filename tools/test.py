@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Inference entry point — TPU-native replacement of the reference
+tools/test.py (threaded multi-GPU eval + per-frame host WNMS): here forward →
+decode → weighted-NMS is one fused jitted program per frame, batched over
+devices; the output pickle format ({rec_id: {bbox, score, class}} plus an
+annotation dict) matches what tools/create_prediction_bin_3d.py consumes.
+"""
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Run RangeDet-TPU inference")
+    p.add_argument("--config", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run on N synthetic frames instead of a dataset")
+    p.add_argument("--epoch", type=int, default=None, help="checkpoint epoch")
+    p.add_argument("--output", default=None, help="output pickle path")
+    p.add_argument("--num-workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from rangedet_tpu.configs import load_config
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.train.checkpoint import restore_checkpoint
+    from rangedet_tpu.train.schedule import build_optimizer
+    from rangedet_tpu.train.state import create_train_state
+    from rangedet_tpu.train.train_step import build_eval_inputs, make_eval_step
+    from rangedet_tpu.utils.logger import config_logger
+
+    cfg = load_config(args.config, is_train=False)
+    if args.data_root:
+        cfg = cfg.replace(data_root=args.data_root)
+    logger = config_logger(cfg.experiment_dir, cfg.name)
+
+    # class name -> Waymo type enum for the output dict
+    name_to_type = dict(zip(cfg.class_names, cfg.label_set))
+
+    # ----------------------------------------------------------------- data
+    if args.synthetic or not cfg.data_root:
+        from rangedet_tpu.data.synthetic import make_batch
+
+        n_frames = args.synthetic or 4
+
+        def frames():
+            for i in range(n_frames):
+                b = make_batch(cfg, 1, seed=i)
+                yield f"synthetic_{i}", b, {}
+    else:
+        from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
+
+        roidb = load_roidbs(cfg.data_root, cfg.image_set, 1, None)
+        logger.info(f"{len(roidb)} eval records")
+
+        def frames():
+            for rec in roidb:
+                b = record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes)
+                b = {k: v[None] for k, v in b.items()}
+                anno = {
+                    "gt_bbox_csa": np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7)))),
+                    "gt_class": np.asarray(rec.get("gt_class", np.zeros(0))),
+                }
+                yield rec.get("rec_id", rec.get("pc_url", "?")), b, anno
+
+    # ---------------------------------------------------------------- model
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, 1000)
+    dummy = next(iter(frames()))[1]
+    dummy = {k: np.asarray(v) for k, v in dummy.items()}
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), dummy)
+    state, ep = restore_checkpoint(state, cfg, args.epoch)
+    logger.info(f"checkpoint epoch: {ep}")
+
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    output_dict, annotation_dict = {}, {}
+    t0 = time.time()
+    n = 0
+    for rec_id, batch, anno in frames():
+        import jax.numpy as jnp
+
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = eval_step(state, build_eval_inputs(batch, cfg))
+        # match the reference pickle contract consumed by
+        # tools/create_prediction_bin_3d.py:85-97: per-frame
+        # {'det_xyzlwhyaws': {class_name: (N, 8) [x,y,z,l,w,h,yaw,score]},
+        #  'meta_info': {'name', 'timestamp_micros'}}
+        det = {}
+        for cls_name, res in out.items():
+            boxes = np.asarray(res["boxes"][0])
+            valid = np.asarray(res["valid"][0])
+            det[cls_name] = boxes[valid][: cfg.max_det_per_image]
+        meta = anno.get("meta_info", {"name": str(rec_id), "timestamp_micros": 0})
+        output_dict[rec_id] = {"det_xyzlwhyaws": det, "meta_info": meta}
+        annotation_dict[rec_id] = anno
+        n += 1
+    dt = time.time() - t0
+    logger.info(f"{n} frames in {dt:.1f}s ({n / dt:.2f} frames/s)")
+
+    out_path = args.output or os.path.join(
+        cfg.experiment_dir, cfg.name, "predictions.pkl"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # two sequential dumps, exactly like the reference (annotation, output)
+    with open(out_path, "wb") as f:
+        pickle.dump(annotation_dict, f)
+        pickle.dump(output_dict, f)
+    logger.info(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

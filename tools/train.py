@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training entry point — TPU-native replacement of the reference
+tools/train.py (414 lines of Horovod/kvstore/DetModule setup): here the run is
+a jitted GSPMD train step over a device mesh, with orbax checkpointing and
+epoch resume.
+
+Usage:
+  python tools/train.py --config rangedet_veh_wo_aug_4_18e [--data-root ...]
+  python tools/train.py --config rangedet_veh_wo_aug_4_18e --synthetic \
+      --steps-per-epoch 50 --epochs 2          # no dataset needed
+
+Data parallel is automatic over all local devices; multi-host runs call
+jax.distributed.initialize (no mpirun / horovodrun wrapper needed).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train RangeDet-TPU")
+    p.add_argument("--config", required=True,
+                   help="recipe module name or path to a .py recipe")
+    p.add_argument("--data-root", default=None, help="override cfg.data_root")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic scenes (smoke/bench)")
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint")
+    p.add_argument("--mesh", default=None,
+                   help="mesh spec like 'data=4,model=2' (default: all on data)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps at step 10")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from rangedet_tpu.configs import load_config
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from rangedet_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from rangedet_tpu.train.schedule import build_optimizer, build_schedule
+    from rangedet_tpu.train.state import create_train_state, param_count
+    from rangedet_tpu.train.train_step import make_train_step
+    from rangedet_tpu.utils.logger import ProfilerHook, Speedometer, config_logger
+
+    cfg = load_config(args.config, is_train=True)
+    if args.data_root:
+        cfg = cfg.replace(data_root=args.data_root)
+    if args.epochs:
+        cfg = cfg.replace(end_epoch=args.epochs)
+
+    logger = config_logger(cfg.experiment_dir, cfg.name)
+    logger.info(f"config: {cfg.name}; devices: {jax.devices()}")
+
+    mesh_shape = cfg.mesh_shape
+    if args.mesh:
+        mesh_shape = {
+            k: int(v) for k, v in (kv.split("=") for kv in args.mesh.split(","))
+        }
+    mesh = make_mesh(mesh_shape)
+    n_data = mesh.shape.get("data", 1)
+    global_batch = cfg.batch_image * n_data
+    logger.info(f"mesh: {dict(mesh.shape)}; global batch: {global_batch}")
+
+    # ----------------------------------------------------------------- data
+    if args.synthetic or not cfg.data_root:
+        from rangedet_tpu.data.synthetic import make_batch
+
+        steps_per_epoch = args.steps_per_epoch or 100
+        logger.info("training on SYNTHETIC data")
+
+        def epoch_batches(epoch):
+            for i in range(steps_per_epoch):
+                yield make_batch(cfg, global_batch, seed=epoch * 10000 + i)
+    else:
+        from rangedet_tpu.data.loader import BatchLoader
+        from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
+
+        roidb = load_roidbs(
+            cfg.data_root, cfg.image_set, cfg.sampling_rate, cfg.filter_class
+        )
+        logger.info(f"loaded {len(roidb)} roidb records")
+        loader = BatchLoader(
+            roidb,
+            lambda rec: record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes),
+            batch_size=global_batch,
+            num_workers=args.num_workers,
+            host_id=jax.process_index(),
+            num_hosts=jax.process_count(),
+        )
+        steps_per_epoch = args.steps_per_epoch or len(loader)
+
+        def epoch_batches(epoch):
+            return loader.epoch()
+
+    # ---------------------------------------------------------------- model
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, steps_per_epoch)
+    sched = build_schedule(cfg, steps_per_epoch)
+
+    sample = make_sample(cfg, global_batch) if args.synthetic or not cfg.data_root \
+        else next(iter(epoch_batches(0)))
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), sample)
+    logger.info(f"params: {param_count(state) / 1e6:.2f}M")
+
+    begin_epoch = cfg.begin_epoch
+    if args.resume:
+        state, ep = restore_checkpoint(state, cfg)
+        if ep is not None:
+            begin_epoch = ep + 1
+            logger.info(f"resumed from epoch {ep}")
+
+    state = replicate_state(state, mesh)
+    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+
+    speedometer = Speedometer(global_batch, cfg.log_frequency, logger)
+    profiler = ProfilerHook(
+        os.path.join(cfg.experiment_dir, cfg.name, "traces"), 10, args.profile_steps
+    )
+
+    # ----------------------------------------------------------------- loop
+    global_step = begin_epoch * steps_per_epoch
+    for epoch in range(begin_epoch, cfg.end_epoch):
+        t_ep = time.time()
+        for i, batch in enumerate(epoch_batches(epoch)):
+            batch = shard_batch(batch, mesh)
+            profiler(global_step)
+            state, metrics = train_step(state, batch)
+            speedometer(
+                epoch, i,
+                {k: v for k, v in metrics.items()},
+                lr=float(sched(global_step)),
+            )
+            global_step += 1
+            if args.steps_per_epoch and i + 1 >= args.steps_per_epoch:
+                break
+        jax.block_until_ready(state.params)
+        logger.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
+        if jax.process_index() == 0 and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+            path = save_checkpoint(state, cfg, epoch)
+            logger.info(f"checkpoint: {path}")
+    logger.info("training complete")
+
+
+def make_sample(cfg, global_batch):
+    from rangedet_tpu.data.synthetic import make_batch
+
+    return make_batch(cfg, global_batch, seed=0)
+
+
+if __name__ == "__main__":
+    main()
