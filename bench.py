@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: range-image frames/sec/chip (train + infer) on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+vs_baseline: the reference publishes no throughput numbers anywhere in its
+tree (BASELINE.md). We therefore benchmark against a documented engineering
+estimate of the reference's per-GPU training throughput on its assumed 8×V100
+setup: the model is ~1.3 TFLOP fwd+bwd per frame at batch 2/GPU in fp16; at a
+typical 25-30% MXNet symbolic-executor utilization of a V100's 125 TFLOP/s
+that is ~8 frames/s/chip train. REFERENCE_TRAIN_FPS below records the
+assumption; the driver-tracked metric is our absolute frames/s/chip either
+way, so the assumption only scales the ratio, not the measurement.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_TRAIN_FPS_PER_CHIP = 8.0  # documented estimate, see module docstring
+
+N_WARMUP = 3
+N_ITERS = 20
+
+
+def main():
+    import jax
+
+    from rangedet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rangedet_tpu.configs import load_config
+    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.train.schedule import build_optimizer
+    from rangedet_tpu.train.state import create_train_state
+    from rangedet_tpu.train.train_step import (
+        build_eval_inputs,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = load_config("rangedet_veh_wo_aug_4_18e", True)
+    batch_np = make_batch(cfg, cfg.batch_image, seed=0, num_boxes=20)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
+
+    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+    for _ in range(N_WARMUP):
+        state, m = train_step(state, batch)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        state, m = train_step(state, batch)
+    jax.block_until_ready(m)
+    train_dt = (time.perf_counter() - t0) / N_ITERS
+    train_fps = cfg.batch_image / train_dt
+
+    cfg_t = load_config("rangedet_veh_wo_aug_4_18e", False)
+    ebatch_np = make_batch(cfg_t, 1, seed=1, num_boxes=20)
+    ebatch = build_eval_inputs(
+        {k: jnp.asarray(v) for k, v in ebatch_np.items()}, cfg_t
+    )
+    eval_step = jax.jit(make_eval_step(model, cfg_t))
+    for _ in range(N_WARMUP):
+        out = eval_step(state, ebatch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out = eval_step(state, ebatch)
+    jax.block_until_ready(out)
+    infer_dt = (time.perf_counter() - t0) / N_ITERS
+    infer_fps = 1.0 / infer_dt
+
+    # combined train+infer figure: harmonic-style composite (a frame must be
+    # both trained on and inferred once => time adds)
+    combined_fps = 1.0 / (1.0 / train_fps + 1.0 / infer_fps)
+
+    result = {
+        "metric": "range-image frames/sec/chip (train+infer)",
+        "value": round(combined_fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(
+            combined_fps
+            / (1.0 / (1.0 / REFERENCE_TRAIN_FPS_PER_CHIP + 1.0 / 20.0)),
+            3,
+        ),
+        "train_fps_per_chip": round(train_fps, 3),
+        "infer_fps_per_chip": round(infer_fps, 3),
+        "train_step_ms": round(train_dt * 1000, 2),
+        "infer_step_ms": round(infer_dt * 1000, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

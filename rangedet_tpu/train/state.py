@@ -17,7 +17,10 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(model, cfg, tx, rng, sample_batch) -> TrainState:
-    variables = model.init(
+    # jit the init: eager init dispatches thousands of tiny ops (very slow on
+    # remote/tunneled backends); one compiled program is strictly better
+    init_fn = jax.jit(model.init, static_argnums=(3,))
+    variables = init_fn(
         rng, sample_batch["input_data"], sample_batch["coord"], True
     )
     return TrainState.create(

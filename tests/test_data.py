@@ -1,0 +1,101 @@
+"""Host data pipeline: hole filling, normalization, loader, synthetic scenes."""
+import numpy as np
+import pytest
+
+from rangedet_tpu.data.loader import BatchLoader
+from rangedet_tpu.data.normalization import CHANNELS, clip_and_norm
+from rangedet_tpu.data.synthetic import make_batch, make_frame
+from rangedet_tpu.data.waymo import fill_missing
+from tiny import tiny_config
+
+
+def test_fill_missing_single_hole():
+    H, W = 8, 16
+    ri = np.full((H, W, 4), 5.0, np.float32)
+    pc = np.ones((H, W, 3), np.float32)
+    ri[3, 4] = [-1, 0, 0, -1]  # isolated hole; right neighbor valid
+    out_ri, out_pc, mask = fill_missing(ri.copy(), pc.copy())
+    # filled from the pixel one to the right (input.py:100-103 shift)
+    assert out_ri[3, 4, 0] == 5.0
+    assert mask[3, 4] == 1.0
+
+
+def test_fill_missing_background_and_car_window():
+    H, W = 8, 16
+    ri = np.full((H, W, 4), -1.0, np.float32)
+    ri[..., 1:3] = 0
+    pc = np.zeros((H, W, 3), np.float32)
+    # one valid return at (4, 8): holes within 2 px become "car window"
+    ri[4, 8] = [10, 0.5, 0.1, 0]
+    out_ri, out_pc, mask = fill_missing(ri.copy(), pc.copy())
+    # far corner: genuine background -> range 80
+    assert out_ri[0, 0, 0] == 80.0
+    # neighbor 2 px away in the same row: car window -> zeroed
+    assert out_ri[4, 6, 0] == 0.0
+    # the valid pixel keeps its value... (4,7) was filled by shift from (4,8)
+    assert out_ri[4, 8, 0] == 10.0
+
+
+def test_clip_and_norm_matches_reference_constants():
+    v = np.array([100.0, -5.0, 50.0], np.float32)
+    out = clip_and_norm("range_value", v)
+    want = (np.clip(v, 0, 80) - 20.0) / np.sqrt(1500.0)
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    assert len(CHANNELS) == 8
+
+
+def test_synthetic_points_inside_boxes(rng):
+    frame = make_frame(rng, H=32, W=256, num_boxes=5)
+    import jax.numpy as jnp
+    from rangedet_tpu.ops import assigner, boxes
+
+    corners8 = np.asarray(boxes.csa_to_corners3d(jnp.asarray(frame["gt_csa"])))
+    idx = np.asarray(
+        assigner.assign_points_to_boxes(
+            jnp.asarray(frame["pc"].reshape(-1, 3)),
+            jnp.asarray(corners8),
+            jnp.asarray(frame["mask"].reshape(-1)),
+        )
+    )
+    # each synthetic box should own a healthy number of points
+    counts = np.bincount(idx[idx >= 0], minlength=5)
+    assert (counts > 5).sum() >= 3, counts
+
+
+def test_make_batch_shapes():
+    cfg = tiny_config()
+    b = make_batch(cfg, batch_size=3, seed=1, num_boxes=4)
+    H, W = cfg.pad_field
+    assert b["input_data"].shape == (3, H, W, 8)
+    assert b["coord"].shape == (3, H, W, 3)
+    assert b["gt_csa"].shape == (3, cfg.max_gt_boxes, 7)
+    assert b["gt_valid"].sum() == 3 * 4
+    assert np.isfinite(b["input_data"]).all()
+
+
+def test_batch_loader_prefetch_and_shard():
+    records = list(range(20))
+    map_fn = lambda r: {"x": np.full((2, 2), float(r), np.float32)}
+    loader = BatchLoader(records, map_fn, batch_size=4, shuffle=True, num_workers=3)
+    batches = list(loader.epoch())
+    assert len(batches) == 5
+    seen = sorted(int(v) for b in batches for v in b["x"][:, 0, 0])
+    assert seen == records
+
+    # host sharding: 2 hosts × 10 records
+    l0 = BatchLoader(records, map_fn, 5, shuffle=False, host_id=0, num_hosts=2)
+    l1 = BatchLoader(records, map_fn, 5, shuffle=False, host_id=1, num_hosts=2)
+    v0 = {int(v) for b in l0.epoch() for v in b["x"][:, 0, 0]}
+    v1 = {int(v) for b in l1.epoch() for v in b["x"][:, 0, 0]}
+    assert v0 == set(range(10)) and v1 == set(range(10, 20))
+
+
+def test_batch_loader_propagates_errors():
+    def bad_map(r):
+        if r == 3:
+            raise ValueError("boom")
+        return {"x": np.zeros(1, np.float32)}
+
+    loader = BatchLoader(list(range(5)), bad_map, 5, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader.epoch())

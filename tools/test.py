@@ -32,6 +32,9 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from rangedet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from rangedet_tpu.configs import load_config
     from rangedet_tpu.models import RangeDet
     from rangedet_tpu.train.checkpoint import restore_checkpoint

@@ -46,6 +46,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    from rangedet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.multihost:
         jax.distributed.initialize()
 
