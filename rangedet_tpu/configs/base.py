@@ -43,6 +43,7 @@ class RangeDetConfig:
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
 
     # ------------------------------------------------------------- loss
     vfl_alpha: float = 1.0
@@ -56,6 +57,9 @@ class RangeDetConfig:
     # reference equivalent is len(gt)=200, 24 is exact in practice (see
     # ops/rotated_iou.max_iou_vs_gt); 0 = dense
     iou_topk_gt: int = 24
+    # pixel-chunked IoU-target evaluation bounds transient HBM (see
+    # max_iou_vs_gt); 0 = unchunked
+    iou_chunk: int = 8192
 
     # ------------------------------------------------------------- targets
     max_gt_boxes: int = 200  # GetFixedLengthGTBbox pad (config:286)
@@ -130,6 +134,7 @@ class RangeDetConfig:
             reg_conv_channel=self.reg_conv_channel,
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
+            remat=self.remat,
         )
 
     def replace(self, **kw) -> "RangeDetConfig":

@@ -45,6 +45,7 @@ class RangeDet(nn.Module):
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
@@ -56,6 +57,7 @@ class RangeDet(nn.Module):
             add_data_sc=self.add_data_sc,
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
+            remat=self.remat,
             name="backbone",
         )(input_data, coords, train)
         return RangeRpnHead(
@@ -159,7 +161,9 @@ def iou_targets_per_level(
             corners = ops_boxes.box10_to_corners_bev(decoded)
             gt_c = targets[f"gt_corners_cls{k}"]  # (B, M, 4, 2)
             iou = jax.vmap(
-                lambda p, g: ops_iou.max_iou_vs_gt(p, g, topk_gt=cfg.iou_topk_gt)
+                lambda p, g: ops_iou.max_iou_vs_gt(
+                    p, g, topk_gt=cfg.iou_topk_gt, chunk=cfg.iou_chunk
+                )
             )(corners, gt_c)
             per_class.append(iou.reshape(B, H, Ws))
         out.append(jax.lax.stop_gradient(jnp.stack(per_class, axis=-1)))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import BatchNorm, ConvNormRelu, DeconvNormRelu
@@ -33,6 +34,34 @@ DEFAULT_META_UNITS = {
 }
 
 
+class MetaBlock(nn.Module):
+    """Meta-Kernel -> BN -> relu -> 1x1 aggregation conv-BN-relu
+    (dla_backbone.py:59-103's meta_kernel_conv). Separate module so it can be
+    wrapped in nn.remat: the (B, H, W, 9C) weighted-neighborhood tensor is by
+    far the largest activation in the net and is cheap to recompute."""
+
+    channel_list: Sequence[int]
+    features: int
+    dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, coords, train: bool = True):
+        ura = not train
+        mk = MetaKernel(
+            channel_list=tuple(self.channel_list),
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="meta_kernel",
+        )(x, coords)
+        mk = BatchNorm(ura, self.dtype, name="meta_bn")(mk)
+        mk = nn.relu(mk)
+        return ConvNormRelu(
+            self.features, kernel=(1, 1), dtype=self.dtype,
+            use_running_average=ura, name="meta_agg",
+        )(mk)
+
+
 class BasicBlock(nn.Module):
     """Residual basic block; first conv optionally replaced by a Meta-Kernel
     (+BN+relu+1x1 agg conv+BN+relu), mirroring DLABackboneBuilder.basicblock /
@@ -44,23 +73,24 @@ class BasicBlock(nn.Module):
     meta_channel_list: Optional[Sequence[int]] = None
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    remat_meta: bool = True
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
         ura = not train
         if self.meta_channel_list is not None:
-            mk = MetaKernel(
+            block_cls = (
+                nn.remat(MetaBlock, static_argnums=(3,))
+                if self.remat_meta
+                else MetaBlock
+            )
+            y = block_cls(
                 channel_list=tuple(self.meta_channel_list),
+                features=self.features,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_meta,
-                name="meta_kernel",
-            )(x, coords)
-            mk = BatchNorm(ura, self.dtype, name="meta_bn")(mk)
-            mk = nn.relu(mk)
-            y = ConvNormRelu(
-                self.features, kernel=(1, 1), dtype=self.dtype,
-                use_running_average=ura, name="meta_agg",
-            )(mk)
+                name="meta_block",
+            )(x, coords, train)
         else:
             y = ConvNormRelu(
                 self.features, dtype=self.dtype, use_running_average=ura,
@@ -129,6 +159,10 @@ class DLABackbone(nn.Module):
     add_data_sc: bool = True
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    # gradient checkpointing over res/agg stages — the jax.checkpoint
+    # equivalent of the reference's memonger mirror planning
+    # (utils/memonger_v2.py:172-273; off in shipped configs, config:169)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, data, coords, train: bool = True):
@@ -139,7 +173,10 @@ class DLABackbone(nn.Module):
         data = data.astype(self.dtype)
 
         def res(name, x, strides, coords=None):
-            return ResStage(
+            stage_cls = ResStage
+            if self.remat:
+                stage_cls = nn.remat(ResStage, static_argnums=(3,))
+            return stage_cls(
                 name_key=name,
                 num_block=nb[name],
                 features=nf[name],

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -23,23 +24,47 @@ BN_EPSILON = 1e-3
 
 
 class BatchNorm(nn.Module):
-    """fp32 BatchNorm wrapper: casts in/out around flax's BatchNorm so running
-    statistics and normalization happen in full precision regardless of the
-    compute dtype."""
+    """Mixed-precision BatchNorm: statistics accumulate in fp32 (reductions
+    upcast inside the fusion — no fp32 copy of the activation is ever
+    materialized, which matters for the 576-channel Meta-Kernel tensor), and
+    normalization runs elementwise in the compute dtype.
+
+    Under GSPMD data sharding the stat reductions become global (sync-BN
+    semantics); the reference uses per-GPU localbn + epoch-end aux averaging
+    (mxnext/complicate.py:55-66, utils/detection_module.py:1164-1170).
+    """
 
     use_running_average: bool
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPSILON,
-            dtype=jnp.float32,
-            axis_name=None,
-        )(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+
+        inv = jax.lax.rsqrt(var + BN_EPSILON) * scale
+        mul = inv.astype(self.dtype)
+        add = (bias - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * mul + add
 
 
 class ConvNormRelu(nn.Module):

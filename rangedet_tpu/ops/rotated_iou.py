@@ -84,8 +84,11 @@ def quad_intersection_area(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     # --- (b) corner containment ----------------------------------------------
     def _corners_inside(quad, pts):
-        # quad: (..., 4, 2); pts: (..., 4, 2) -> (..., 4) bool, same-side test
-        # (reference check_in_box2d_8pts, rotated_iou-inl.h:112-128)
+        # quad: (..., 4, 2); pts: (..., 4, 2) -> (..., 4) bool, same-side test.
+        # Boundary-inclusive (|pos| <= eps counts as on either side): the
+        # reference's strict test (check_in_box2d_8pts, rotated_iou-inl.h:
+        # 112-128) returns *0 IoU for exactly identical boxes* because shared
+        # corners fail it; robust handling only changes knife-edge cases.
         c0 = quad[..., None, :, :]  # (..., 1, 4, 2)
         c1 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
         px = pts[..., :, None, 0]
@@ -93,8 +96,9 @@ def quad_intersection_area(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         pos = (c1[..., 0] - c0[..., 0]) * (py - c0[..., 1]) - (
             c1[..., 1] - c0[..., 1]
         ) * (px - c0[..., 0])
-        sides = pos >= 0
-        return jnp.all(sides == sides[..., :1], axis=-1)
+        any_pos = jnp.any(pos > EPS, axis=-1)
+        any_neg = jnp.any(pos < -EPS, axis=-1)
+        return ~(any_pos & any_neg)
 
     b_in_a = _corners_inside(a, b)  # (..., 4)
     a_in_b = _corners_inside(b, a)
@@ -181,6 +185,7 @@ def max_iou_vs_gt(
     proposals_corners: jnp.ndarray,
     gt_corners: jnp.ndarray,
     topk_gt: int = 0,
+    chunk: int = 0,
 ) -> jnp.ndarray:
     """Max BEV IoU of each proposal against a GT set, with optional prefilter.
 
@@ -197,15 +202,36 @@ def max_iou_vs_gt(
         sufficiently large K (default config: 24) this is exact in practice at
         a fraction of the cost — the reference pays the dense (N, 200) matrix.
 
+      chunk: if > 0, process proposals in fixed-size chunks under lax.map so
+        the transient candidate buffers stay O(chunk·topk_gt) instead of
+        O(N·topk_gt) — the unchunked version allocates multi-GB tile-padded
+        intermediates at N≈340k on TPU.
+
     Returns:
       (N,) max IoU per proposal in [0, 1].
     """
+    N = proposals_corners.shape[0]
+    if chunk and N > chunk:
+        pad = (-N) % chunk
+        flat = proposals_corners.reshape(N, 8)
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+
+        def one_chunk(c):
+            return max_iou_vs_gt(c.reshape(-1, 4, 2), gt_corners, topk_gt, 0)
+
+        out = jax.lax.map(one_chunk, flat.reshape(-1, chunk, 8))
+        return out.reshape(-1)[:N]
+
     if topk_gt and topk_gt < gt_corners.shape[0]:
         pc = proposals_corners.mean(axis=-2)  # (N, 2)
         gc = gt_corners.mean(axis=-2)  # (M, 2)
         d2 = jnp.sum((pc[:, None, :] - gc[None, :, :]) ** 2, axis=-1)  # (N, M)
         _, idx = jax.lax.top_k(-d2, topk_gt)  # (N, K)
-        cand = gt_corners[idx]  # (N, K, 4, 2)
+        # gather through the flat (M, 8) view: trailing dim 8 tiles far better
+        # than (4, 2) on TPU
+        cand = gt_corners.reshape(-1, 8)[idx].reshape(
+            idx.shape[0], topk_gt, 4, 2
+        )
         iou = iou_bev_corners(proposals_corners[:, None], cand)  # (N, K)
     else:
         iou = iou_bev_matrix(proposals_corners, gt_corners)  # (N, M)

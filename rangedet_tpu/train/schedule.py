@@ -38,6 +38,16 @@ def build_schedule(cfg, steps_per_epoch: int):
         return optax.join_schedules([warm, sched], [warmup_steps])
     if cfg.lr_mode == "constant":
         return optax.constant_schedule(cfg.base_lr)
+    if cfg.lr_mode == "onecycle":
+        # OneCycleScheduler equivalent (utils/train_utils.py:28-62):
+        # linear ramp to peak over warmup fraction, cosine down to ~0
+        return optax.onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=cfg.base_lr,
+            pct_start=max(0.05, min(0.5, warmup_steps / total_steps)),
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
     raise ValueError(f"unknown lr_mode {cfg.lr_mode}")
 
 
