@@ -252,7 +252,12 @@ def run_inference(
 
         def per_frame(score_k, delta_k, pc_b, mask_b):
             masked = jnp.where(mask_b > 0, score_k, 0.0)
-            top_scores, idx = jax.lax.top_k(masked, topk)
+            if cfg.use_approx_topk:
+                top_scores, idx = jax.lax.approx_max_k(
+                    masked, topk, recall_target=0.99, aggregate_to_topk=True
+                )
+            else:
+                top_scores, idx = jax.lax.top_k(masked, topk)
             top_deltas = delta_k[idx]
             top_pc = pc_b[idx]
             box10 = ops_decode.decode_boxes(top_deltas, top_pc)

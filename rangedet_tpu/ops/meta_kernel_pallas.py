@@ -1,0 +1,136 @@
+"""Fused Meta-Kernel as a Pallas TPU kernel.
+
+Computes, in ONE kernel pass per (batch, width-tile) grid step:
+
+  rel[t]  = coords[p + offset_t] - coords[p]            (3x3 taps, zero pad)
+  w[t]    = MLP(rel[t])  (3 -> C_mid -> C, fc-relu-fc)  per-pixel dyn weights
+  out[p, t*C:(t+1)*C] = feat[p + offset_t] * w[t]
+
+The pure-XLA formulation (models/meta_kernel.py, the numerical oracle)
+materializes three (B, H, W, 9C) tensors in HBM (neighbors, weights, product
+≈ 1.1 GB at full size); this kernel keeps all intermediates in VMEM and only
+writes the product once. The first MLP layer is algebraically expanded into 3
+scalar-vector broadcasts (contraction dim is 3 — useless for the MXU); the
+second layer is a real MXU matmul per tap.
+
+Replaces the compute of reference meta_baseline_bias
+(rangedet/symbol/backbone/meta_kernel.py:166-240). Currently wired for the
+inference path (no custom VJP yet); training uses the XLA oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_OFFSETS = [(dy, dx) for dy in range(3) for dx in range(3)]
+
+
+def _kernel(w0_ref, b0_ref, w1_ref, b1_ref, feat_hbm, coord_hbm, out_ref,
+            feat_slab, coord_slab, sems, *, H, Wt, C, C_mid):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    feat_dma = pltpu.make_async_copy(
+        feat_hbm.at[b, :, pl.ds(i * Wt, Wt + 2), :], feat_slab, sems.at[0]
+    )
+    coord_dma = pltpu.make_async_copy(
+        coord_hbm.at[b, :, pl.ds(i * Wt, Wt + 2), :], coord_slab, sems.at[1]
+    )
+    feat_dma.start()
+    coord_dma.start()
+    coord_dma.wait()
+    feat_dma.wait()
+
+    center = coord_slab[1 : H + 1, 1 : Wt + 1, :]  # (H, Wt, 3)
+    w0 = w0_ref[:]  # (3, C_mid)
+    b0 = b0_ref[:]  # (C_mid,)
+    w1 = w1_ref[:]  # (C_mid, C)
+    b1 = b1_ref[:]  # (C,)
+
+    for t, (dy, dx) in enumerate(_OFFSETS):
+        rel = (
+            coord_slab[dy : dy + H, dx : dx + Wt, :] - center
+        )  # (H, Wt, 3)
+        # first MLP layer as 3 broadcasts (K=3 is not MXU work)
+        h = (
+            rel[:, :, 0:1] * w0[0][None, None, :]
+            + rel[:, :, 1:2] * w0[1][None, None, :]
+            + rel[:, :, 2:3] * w0[2][None, None, :]
+            + b0[None, None, :]
+        )
+        h = jnp.maximum(h, 0.0)  # (H, Wt, C_mid)
+        w = (
+            jnp.dot(
+                h.reshape(H * Wt, C_mid),
+                w1,
+                preferred_element_type=jnp.float32,
+            )
+            + b1[None, :]
+        ).reshape(H, Wt, C)
+        nb = feat_slab[dy : dy + H, dx : dx + Wt, :]  # (H, Wt, C)
+        out_ref[0, :, :, t * C : (t + 1) * C] = (
+            nb.astype(jnp.float32) * w
+        ).astype(out_ref.dtype)
+
+
+def meta_kernel_fused(
+    feat: jnp.ndarray,
+    coords: jnp.ndarray,
+    w0: jnp.ndarray,
+    b0: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """feat (B,H,W,C), coords (B,H,W,3), MLP params -> (B,H,W,9C).
+
+    Numerically equivalent to models/meta_kernel.MetaKernel's XLA path
+    (tested against it); W is internally padded to a multiple of ``w_tile``.
+    """
+    B, H, W, C = feat.shape
+    C_mid = w0.shape[1]
+    dtype = feat.dtype
+
+    Wp = -(-W // w_tile) * w_tile
+    # +1 halo on each side of H and W; zero padding reproduces im2col pad=1
+    feat_p = jnp.pad(feat, ((0, 0), (1, 1), (1, 1 + Wp - W), (0, 0)))
+    coord_p = jnp.pad(
+        coords.astype(dtype), ((0, 0), (1, 1), (1, 1 + Wp - W), (0, 0))
+    )
+
+    grid = (B, Wp // w_tile)
+    kernel = functools.partial(_kernel, H=H, Wt=w_tile, C=C, C_mid=C_mid)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feat (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # coords (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, w_tile, 9 * C),
+            lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wp, 9 * C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, w_tile + 2, C), dtype),
+            pltpu.VMEM((H + 2, w_tile + 2, 3), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        w0.astype(dtype), b0.astype(dtype), w1.astype(dtype), b1.astype(dtype),
+        feat_p, coord_p,
+    )
+    return out[:, :, :W, :]
