@@ -82,10 +82,10 @@ class RangeDetConfig:
     min_score: Dict[str, float] = dataclasses.field(
         default_factory=lambda: {"veh": 0.5, "ped": 0.4, "cyc": 0.3}
     )
-    # TPU-native candidate selection: lax.approx_max_k (hardware top-k with
-    # ~0.99 recall) instead of exact lax.top_k, which crashes the v5e fusion
-    # emitter at k=4096 over 297k scores and is slower anyway
-    use_approx_topk: bool = True
+    # candidate selection: "argsort" (exact, full sort — the v5e TopkEmitter
+    # crashes on lax.top_k/approx_max_k over the fused 297k score vector),
+    # "approx" (lax.approx_max_k), or "exact" (lax.top_k)
+    topk_method: str = "argsort"
     wnms_thr_lo: float = 0.1
     wnms_thr_hi: float = 0.5
     wnms_is_3d: bool = False

@@ -252,7 +252,13 @@ def run_inference(
 
         def per_frame(score_k, delta_k, pc_b, mask_b):
             masked = jnp.where(mask_b > 0, score_k, 0.0)
-            if cfg.use_approx_topk:
+            # exact top-k via full argsort: the v5e TopkEmitter crashes on
+            # lax.top_k/approx_max_k for this operand (297k scores in a
+            # T(1,128) layout); a full sort compiles fine and costs <1 ms
+            if cfg.topk_method == "argsort":
+                idx = jnp.argsort(-masked)[:topk]
+                top_scores = masked[idx]
+            elif cfg.topk_method == "approx":
                 top_scores, idx = jax.lax.approx_max_k(
                     masked, topk, recall_target=0.99, aggregate_to_topk=True
                 )
