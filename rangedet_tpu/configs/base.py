@@ -60,6 +60,9 @@ class RangeDetConfig:
     # pixel-chunked IoU-target evaluation bounds transient HBM (see
     # max_iou_vs_gt); 0 = unchunked
     iou_chunk: int = 8192
+    # fused Pallas IoU-target kernel (ops/iou_target_pallas.py); the XLA
+    # chunked path is the oracle/fallback
+    use_pallas_iou: bool = True
 
     # ------------------------------------------------------------- targets
     max_gt_boxes: int = 200  # GetFixedLengthGTBbox pad (config:286)

@@ -157,14 +157,25 @@ def iou_targets_per_level(
         per_class = []
         for k in range(cfg.num_classes):
             d = delta[..., k * 8 : (k + 1) * 8].reshape(B, -1, 8)
-            decoded = ops_decode.decode_boxes(d, pc)  # (B, N, 10)
-            corners = ops_boxes.box10_to_corners_bev(decoded)
             gt_c = targets[f"gt_corners_cls{k}"]  # (B, M, 4, 2)
-            iou = jax.vmap(
-                lambda p, g: ops_iou.max_iou_vs_gt(
-                    p, g, topk_gt=cfg.iou_topk_gt, chunk=cfg.iou_chunk
-                )
-            )(corners, gt_c)
+            if cfg.use_pallas_iou:
+                from ..ops.iou_target_pallas import iou_target_fused
+
+                iou = iou_target_fused(
+                    delta[..., k * 8 : (k + 1) * 8],
+                    targets[f"pc_s{s}"],
+                    gt_c,
+                    topk_gt=max(cfg.iou_topk_gt, 32),
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(B, -1)
+            else:
+                decoded = ops_decode.decode_boxes(d, pc)  # (B, N, 10)
+                corners = ops_boxes.box10_to_corners_bev(decoded)
+                iou = jax.vmap(
+                    lambda p, g: ops_iou.max_iou_vs_gt(
+                        p, g, topk_gt=cfg.iou_topk_gt, chunk=cfg.iou_chunk
+                    )
+                )(corners, gt_c)
             per_class.append(iou.reshape(B, H, Ws))
         out.append(jax.lax.stop_gradient(jnp.stack(per_class, axis=-1)))
     return out
