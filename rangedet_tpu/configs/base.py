@@ -44,6 +44,7 @@ class RangeDetConfig:
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
     remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
+    remat_meta: bool = True  # recompute the 9C Meta-Kernel tensor in backward
 
     # ------------------------------------------------------------- loss
     vfl_alpha: float = 1.0
@@ -142,6 +143,7 @@ class RangeDetConfig:
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
             remat=self.remat,
+            remat_meta=self.remat_meta,
         )
 
     def replace(self, **kw) -> "RangeDetConfig":

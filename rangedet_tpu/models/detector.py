@@ -46,6 +46,7 @@ class RangeDet(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
     remat: bool = False
+    remat_meta: bool = True
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
@@ -58,6 +59,7 @@ class RangeDet(nn.Module):
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
             remat=self.remat,
+            remat_meta=self.remat_meta,
             name="backbone",
         )(input_data, coords, train)
         return RangeRpnHead(

@@ -127,6 +127,7 @@ class ResStage(nn.Module):
     meta_units: Mapping[str, dict] = None
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    remat_meta: bool = True
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -143,6 +144,7 @@ class ResStage(nn.Module):
                 ),
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
+                remat_meta=self.remat_meta,
                 name=unit_name,
             )(x, coords, train)
         return x
@@ -159,6 +161,7 @@ class DLABackbone(nn.Module):
     add_data_sc: bool = True
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    remat_meta: bool = True
     # gradient checkpointing over res/agg stages — the jax.checkpoint
     # equivalent of the reference's memonger mirror planning
     # (utils/memonger_v2.py:172-273; off in shipped configs, config:169)
@@ -184,6 +187,7 @@ class DLABackbone(nn.Module):
                 meta_units=meta,
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
+                remat_meta=self.remat_meta,
                 name=name,
             )(x, coords, train)
 
