@@ -9,7 +9,8 @@ import optax
 
 def build_schedule(cfg, steps_per_epoch: int):
     total_steps = max(1, (cfg.end_epoch - cfg.begin_epoch) * steps_per_epoch)
-    warmup_steps = int(cfg.warmup_epochs * steps_per_epoch)
+    # clamp: short smoke runs can have warmup >= total, which optax rejects
+    warmup_steps = min(int(cfg.warmup_epochs * steps_per_epoch), total_steps - 1)
 
     if cfg.lr_mode == "cosine":
         return optax.warmup_cosine_decay_schedule(

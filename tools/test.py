@@ -87,6 +87,7 @@ def main():
     logger.info(f"checkpoint epoch: {ep}")
 
     eval_step = jax.jit(make_eval_step(model, cfg))
+    prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
 
     output_dict, annotation_dict = {}, {}
     t0 = time.time()
@@ -95,7 +96,7 @@ def main():
         import jax.numpy as jnp
 
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = eval_step(state, build_eval_inputs(batch, cfg))
+        out = eval_step(state, prep(batch))
         # match the reference pickle contract consumed by
         # tools/create_prediction_bin_3d.py:85-97: per-frame
         # {'det_xyzlwhyaws': {class_name: (N, 8) [x,y,z,l,w,h,yaw,score]},
