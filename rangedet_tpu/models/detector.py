@@ -50,6 +50,12 @@ class RangeDet(nn.Module):
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
+        W = input_data.shape[2]
+        s_max = max(self.fpn_strides)
+        assert W % s_max == 0, (
+            f"range-image width {W} must be divisible by the largest FPN "
+            f"stride {s_max} (pad W, cf. reference pad_field 64x2656)"
+        )
         feats = DLABackbone(
             fpn_strides=tuple(self.fpn_strides),
             num_block=self.num_block,

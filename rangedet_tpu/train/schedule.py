@@ -42,7 +42,7 @@ def build_schedule(cfg, steps_per_epoch: int):
     if cfg.lr_mode == "onecycle":
         # OneCycleScheduler equivalent (utils/train_utils.py:28-62):
         # linear ramp to peak over warmup fraction, cosine down to ~0
-        return optax.onecycle_schedule(
+        return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,
             peak_value=cfg.base_lr,
             pct_start=max(0.05, min(0.5, warmup_steps / total_steps)),

@@ -1,0 +1,120 @@
+"""Training infrastructure: LR schedules, optimizer, checkpoint round-trip,
+running metrics, width validation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rangedet_tpu.configs import load_config
+from rangedet_tpu.train.schedule import build_optimizer, build_schedule
+from rangedet_tpu.utils.metrics import (
+    AccWithIgnore,
+    CompositeMetric,
+    L1Metric,
+    ScalarLoss,
+)
+from tiny import tiny_config
+
+
+def test_cosine_warmup_schedule():
+    cfg = load_config("rangedet_veh_wo_aug_4_18e", True)
+    sched = build_schedule(cfg, steps_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(cfg.warmup_lr)
+    # peak at end of the 2-epoch warmup
+    assert float(sched(200)) == pytest.approx(cfg.base_lr, rel=1e-3)
+    # decays toward 0 at the end of 18 epochs
+    assert float(sched(1800)) < 0.01 * cfg.base_lr
+    # monotone decay after warmup
+    assert float(sched(500)) > float(sched(1200))
+
+
+def test_step_and_onecycle_modes():
+    cfg = load_config("rangedet_veh_wo_aug_4_18e", True)
+    step = build_schedule(cfg.replace(lr_mode="step", warmup_epochs=0), 100)
+    assert float(step(1100)) == pytest.approx(cfg.base_lr)
+    assert float(step(1300)) == pytest.approx(cfg.base_lr * 0.1, rel=1e-4)
+    assert float(step(1600)) == pytest.approx(cfg.base_lr * 0.01, rel=1e-4)
+
+    oc = build_schedule(cfg.replace(lr_mode="onecycle"), 100)
+    peak = max(float(oc(s)) for s in range(0, 1800, 50))
+    assert peak == pytest.approx(cfg.base_lr, rel=0.05)
+
+
+def test_elementwise_grad_clip():
+    """MXNet-style clip_gradient clamps each element, not the global norm."""
+    cfg = tiny_config().replace(
+        clip_gradient=1.0, base_lr=1.0, momentum=0.0, weight_decay=0.0,
+        warmup_epochs=0, lr_mode="constant",
+    )
+    tx, _ = build_optimizer(cfg, 10)
+    params = {"w": jnp.zeros((3,))}
+    grads = {"w": jnp.asarray([0.5, 100.0, -7.0])}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-0.5, -1.0, 1.0])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.train.checkpoint import (
+        latest_epoch,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from rangedet_tpu.train.state import create_train_state
+
+    cfg = tiny_config().replace(experiment_dir=str(tmp_path))
+    batch = {
+        k: jnp.asarray(v) for k, v in make_batch(cfg, 1, seed=0, num_boxes=2).items()
+    }
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, 10)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
+
+    save_checkpoint(state, cfg, epoch=3)
+    save_checkpoint(state, cfg, epoch=7)
+    assert latest_epoch(cfg) == 7
+
+    restored, ep = restore_checkpoint(state, cfg)
+    assert ep == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_running_metrics():
+    comp = CompositeMetric([
+        ScalarLoss("cls", "cls_loss"),
+        AccWithIgnore("acc", "score", "target", "mask"),
+        L1Metric("l1", "pred", "target_reg", "weight"),
+    ])
+    comp.update(
+        cls_loss=2.0,
+        score=np.array([0.9, 0.1, 0.8, 0.3]),
+        target=np.array([1.0, 0.0, 0.0, 1.0]),
+        mask=np.array([1, 1, 1, 0]),
+        pred=np.array([1.0, 2.0]),
+        target_reg=np.array([1.5, 2.0]),
+        weight=np.array([1.0, 0.0]),
+    )
+    comp.update(cls_loss=4.0, score=np.zeros(1), target=np.zeros(1),
+                mask=np.ones(1), pred=np.zeros(1), target_reg=np.zeros(1),
+                weight=np.zeros(1))
+    got = comp.get()
+    assert got["cls"] == pytest.approx(3.0)
+    # first update: of 3 valid px, preds [T,F,T] vs pos [T,F,F] -> 2 correct
+    # second: 1 valid, pred F vs pos F -> correct => 3/4
+    assert got["acc"] == pytest.approx(3 / 4)
+    assert got["l1"] == pytest.approx(0.5)
+    assert "cls=" in comp.format()
+
+
+def test_width_divisibility_error():
+    from rangedet_tpu.models import RangeDet
+
+    cfg = tiny_config(pad_field=(16, 126), feat_size=(16, 126))
+    model = RangeDet(**cfg.model_kwargs())
+    x = jnp.zeros((1, 16, 126, 8))
+    c = jnp.zeros((1, 16, 126, 3))
+    with pytest.raises(AssertionError, match="divisible"):
+        model.init(jax.random.PRNGKey(0), x, c, True)
