@@ -1,12 +1,11 @@
-"""TPU-optimized vehicle recipe: the parity architecture with channel widths
+"""Wide-channel vehicle recipe: the parity architecture with channel widths
 raised to the v5e MXU's preferred ≥128 lanes.
 
 Measured on chip: 64-channel full-width convs sustain ~12 TF/s fwd+bwd while
-256-channel convs sustain ~75 TF/s — the reference's 64-wide res1/agg stages
-(dla_backbone.py num_filter) leave the MXU mostly idle. This variant doubles
-those widths (strictly more capacity than the published model, so it can only
-help AP) for substantially higher throughput per chip. The parity-exact
-recipe remains rangedet_veh_wo_aug_all_36e.
+256-channel convs sustain ~75 TF/s — the reference's 64-wide stages leave the
+MXU mostly idle, so doubling widths costs ~4× FLOPs but only ~1.3× wall time.
+This is the capacity/accuracy knob (strictly more model than the published
+one); the parity-exact recipe remains rangedet_veh_wo_aug_all_36e.
 """
 from rangedet_tpu.configs.base import RangeDetConfig
 

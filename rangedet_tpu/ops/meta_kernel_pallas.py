@@ -34,18 +34,20 @@ def _kernel(w0_ref, b0_ref, w1_ref, b1_ref, feat_hbm, coord_hbm, out_ref,
     b = pl.program_id(0)
     i = pl.program_id(1)
 
+    # slab width Wt+8: Mosaic requires DMA slice sizes aligned to the 8-wide
+    # sublane tiling of the (W, C) dims; cols [Wt+2, Wt+8) are junk padding
     feat_dma = pltpu.make_async_copy(
-        feat_hbm.at[b, :, pl.ds(i * Wt, Wt + 2), :], feat_slab, sems.at[0]
+        feat_hbm.at[b, :, pl.ds(i * Wt, Wt + 8), :], feat_slab, sems.at[0]
     )
     coord_dma = pltpu.make_async_copy(
-        coord_hbm.at[b, :, pl.ds(i * Wt, Wt + 2), :], coord_slab, sems.at[1]
+        coord_hbm.at[b, :, pl.ds(i * Wt, Wt + 8), :], coord_slab, sems.at[1]
     )
     feat_dma.start()
     coord_dma.start()
     coord_dma.wait()
     feat_dma.wait()
 
-    center = coord_slab[1 : H + 1, 1 : Wt + 1, :]  # (H, Wt, 3)
+    center = coord_slab[1 : H + 1, 1 : Wt + 1, :3]  # (H, Wt, 3)
     w0 = w0_ref[:]  # (3, C_mid)
     b0 = b0_ref[:]  # (C_mid,)
     w1 = w1_ref[:]  # (C_mid, C)
@@ -53,7 +55,7 @@ def _kernel(w0_ref, b0_ref, w1_ref, b1_ref, feat_hbm, coord_hbm, out_ref,
 
     for t, (dy, dx) in enumerate(_OFFSETS):
         rel = (
-            coord_slab[dy : dy + H, dx : dx + Wt, :] - center
+            coord_slab[dy : dy + H, dx : dx + Wt, :3] - center
         )  # (H, Wt, 3)
         # first MLP layer as 3 broadcasts (K=3 is not MXU work)
         h = (
@@ -71,7 +73,7 @@ def _kernel(w0_ref, b0_ref, w1_ref, b1_ref, feat_hbm, coord_hbm, out_ref,
             )
             + b1[None, :]
         ).reshape(H, Wt, C)
-        nb = feat_slab[dy : dy + H, dx : dx + Wt, :]  # (H, Wt, C)
+        nb = feat_slab[dy : dy + H, dx : dx + Wt, :C]  # (H, Wt, C)
         out_ref[0, :, :, t * C : (t + 1) * C] = (
             nb.astype(jnp.float32) * w
         ).astype(out_ref.dtype)
@@ -84,7 +86,7 @@ def meta_kernel_fused(
     b0: jnp.ndarray,
     w1: jnp.ndarray,
     b1: jnp.ndarray,
-    w_tile: int = 128,
+    w_tile: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """feat (B,H,W,C), coords (B,H,W,3), MLP params -> (B,H,W,9C).
@@ -97,10 +99,13 @@ def meta_kernel_fused(
     dtype = feat.dtype
 
     Wp = -(-W // w_tile) * w_tile
-    # +1 halo on each side of H and W; zero padding reproduces im2col pad=1
-    feat_p = jnp.pad(feat, ((0, 0), (1, 1), (1, 1 + Wp - W), (0, 0)))
+    # +1 halo each side of H/W (zero padding reproduces im2col pad=1), plus 6
+    # extra right-pad columns so every 8-aligned DMA slab stays in bounds;
+    # channels pad to the 128-lane tile (HBM slices must take whole tiles)
+    Cp = -(-C // 128) * 128
+    feat_p = jnp.pad(feat, ((0, 0), (1, 1), (1, 7 + Wp - W), (0, Cp - C)))
     coord_p = jnp.pad(
-        coords.astype(dtype), ((0, 0), (1, 1), (1, 1 + Wp - W), (0, 0))
+        coords.astype(dtype), ((0, 0), (1, 1), (1, 7 + Wp - W), (0, 125))
     )
 
     grid = (B, Wp // w_tile)
@@ -124,8 +129,8 @@ def meta_kernel_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Wp, 9 * C), dtype),
         scratch_shapes=[
-            pltpu.VMEM((H + 2, w_tile + 2, C), dtype),
-            pltpu.VMEM((H + 2, w_tile + 2, 3), dtype),
+            pltpu.VMEM((H + 2, w_tile + 8, -(-C // 128) * 128), dtype),
+            pltpu.VMEM((H + 2, w_tile + 8, 128), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
