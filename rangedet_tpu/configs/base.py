@@ -101,6 +101,7 @@ class RangeDetConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-5
     clip_gradient: float = 35.0
+    clip_mode: str = "elementwise"  # MXNet clip_gradient semantics; or "global_norm"
     lr_mode: str = "cosine"
     begin_epoch: int = 0
     end_epoch: int = 18

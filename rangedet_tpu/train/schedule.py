@@ -57,15 +57,20 @@ def build_optimizer(cfg, steps_per_epoch: int):
     weight decay (tools/train.py:330-368: clip_gradient=35, wd=1e-5,
     momentum=0.9). Also supports AdamW (utils/train_utils.py:140-302)."""
     sched = build_schedule(cfg, steps_per_epoch)
+    clip_mode = getattr(cfg, "clip_mode", "elementwise")
+    if clip_mode == "global_norm":  # clip_global_norm (train_utils.py:96-137)
+        clip = optax.clip_by_global_norm(cfg.clip_gradient)
+    else:  # MXNet clip_gradient is elementwise
+        clip = optax.clip(cfg.clip_gradient)
     if cfg.optimizer == "sgd":
         tx = optax.chain(
-            optax.clip(cfg.clip_gradient),  # MXNet clip_gradient is elementwise
+            clip,
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(learning_rate=sched, momentum=cfg.momentum),
         )
     elif cfg.optimizer == "adamw":
         tx = optax.chain(
-            optax.clip(cfg.clip_gradient),
+            clip,
             optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay),
         )
     else:
