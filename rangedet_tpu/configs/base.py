@@ -98,6 +98,9 @@ class RangeDetConfig:
     # ------------------------------------------------------------- optimize
     optimizer: str = "sgd"
     base_lr: float = 0.01 / 8 * 8 * 2 * 5  # reference config:180 (8 chips, b2)
+    # reference LR formula scales with #gpus × batch (config:180); when True
+    # the runner rescales base_lr by global_batch / 16 (the 8-chip, b2 value)
+    auto_scale_lr: bool = True
     momentum: float = 0.9
     weight_decay: float = 1e-5
     clip_gradient: float = 35.0

@@ -78,7 +78,14 @@ def main():
     mesh = make_mesh(mesh_shape)
     n_data = mesh.shape.get("data", 1)
     global_batch = cfg.batch_image * n_data
-    logger.info(f"mesh: {dict(mesh.shape)}; global batch: {global_batch}")
+    if cfg.auto_scale_lr:
+        # linear LR scaling with global batch, as the reference's lr formula
+        # (0.01/8 * num_gpus * batch * 5, config:180)
+        cfg = cfg.replace(base_lr=cfg.base_lr * global_batch / 16.0)
+    logger.info(
+        f"mesh: {dict(mesh.shape)}; global batch: {global_batch}; "
+        f"lr: {cfg.base_lr:.5f}"
+    )
 
     # ----------------------------------------------------------------- data
     if args.synthetic or not cfg.data_root:
