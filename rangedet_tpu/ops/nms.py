@@ -54,22 +54,32 @@ def _det_iou(dets11: jnp.ndarray, one: jnp.ndarray, iou_3d: bool) -> jnp.ndarray
     return inter / jnp.maximum(union, 1e-8)
 
 
-def _median_yaw(
-    voters: jnp.ndarray, yaw: jnp.ndarray, yaw_i: jnp.ndarray
+def _median_yaw_presorted(
+    voters_sorted: jnp.ndarray,
+    yaw_sorted: jnp.ndarray,
+    yaw_i: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Median voter yaw with the reference's tie-breaks (nms.h:527-540)."""
-    K = yaw.shape[0]
-    n = jnp.sum(voters.astype(jnp.int32))
-    sorted_yaw = jnp.sort(jnp.where(voters, yaw, jnp.inf))
+    """Median voter yaw with the reference's tie-breaks (nms.h:527-540).
 
-    odd_median = sorted_yaw[jnp.clip(n // 2, 0, K - 1)]
-    # even count: conceptually insert yaw_i into the sorted list, take index n/2
-    t = jnp.sum((sorted_yaw < yaw_i) & (jnp.arange(K) < n))
+    Takes the voter mask and yaws permuted into ascending-yaw order: the yaws
+    never change across greedy rounds, so the sort happens ONCE outside the
+    NMS loop and each round's median is a cumsum + masked select (a per-round
+    jnp.sort over the candidate axis was the inference bottleneck — lax.sort
+    is pathologically slow on small TPU axes).
+    """
+    c = jnp.cumsum(voters_sorted.astype(jnp.int32))
+    n = c[-1]
+
+    def pick(rank):  # 0-based rank among voters, in yaw order
+        sel = voters_sorted & (c == rank + 1)
+        return jnp.sum(jnp.where(sel, yaw_sorted, 0.0))
+
+    odd_median = pick(n // 2)
+    # even count: conceptually insert yaw_i into the sorted list, take n/2
+    t = jnp.sum(voters_sorted & (yaw_sorted < yaw_i))
     k = n // 2
     even_median = jnp.where(
-        k < t,
-        sorted_yaw[jnp.clip(k, 0, K - 1)],
-        jnp.where(k == t, yaw_i, sorted_yaw[jnp.clip(k - 1, 0, K - 1)]),
+        k < t, pick(k), jnp.where(k == t, yaw_i, pick(k - 1))
     )
     median = jnp.where(n % 2 == 1, odd_median, even_median)
     return jnp.where(n <= 2, yaw_i, median)
@@ -109,10 +119,19 @@ def weighted_nms(
     valid = valid[order]
     yaw = dets11[:, 8]
     arange = jnp.arange(K)
+    # yaw-ascending permutation, computed once for the per-round median
+    yaw_order = jnp.argsort(yaw)
+    yaw_sorted = yaw[yaw_order]
 
-    def round_fn(suppressed, _):
+    def cond_fn(state):
+        suppressed, rows, row_valid, r = state
+        # early exit: frames rarely fill max_keep — each round costs a full
+        # IoU row, so stop as soon as no candidate remains alive
+        return (r < max_keep) & jnp.any(valid & ~suppressed)
+
+    def body_fn(state):
+        suppressed, rows, row_valid, r = state
         alive = valid & ~suppressed
-        has_any = jnp.any(alive)
         idx = jnp.argmax(alive)  # first alive in score order
         one = dets11[idx]
         score_i = scores[idx]
@@ -121,21 +140,26 @@ def weighted_nms(
         iou_row = _det_iou(dets11, one, iou_3d)
         voters = (alive & (iou_row > thresh_vote)) | (arange == idx)
 
-        median = _median_yaw(voters, yaw, yaw_i)
+        median = _median_yaw_presorted(voters[yaw_order], yaw_sorted, yaw_i)
         yaw_ok = jnp.mod(jnp.abs(yaw - median), TWO_PI) < YAW_REJECT
         w = jnp.where(voters & yaw_ok, jnp.maximum(scores, 0.0), 0.0)
 
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         avg11 = jnp.sum(w[:, None] * dets11, axis=0) / wsum
         row = jnp.concatenate([avg11, score_i[None]])
-        row = jnp.where(has_any, row, 0.0)
 
-        new_suppressed = suppressed | (alive & (iou_row >= thresh)) | (arange == idx)
-        new_suppressed = jnp.where(has_any, new_suppressed, suppressed)
-        return new_suppressed, (row, has_any)
+        rows = rows.at[r].set(row)
+        row_valid = row_valid.at[r].set(True)
+        suppressed = suppressed | (alive & (iou_row >= thresh)) | (arange == idx)
+        return suppressed, rows, row_valid, r + 1
 
-    init = ~valid
-    _, (rows, row_valid) = jax.lax.scan(round_fn, init, None, length=max_keep)
+    init = (
+        ~valid,
+        jnp.zeros((max_keep, 12), jnp.float32),
+        jnp.zeros((max_keep,), bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, rows, row_valid, _ = jax.lax.while_loop(cond_fn, body_fn, init)
     return rows, row_valid
 
 
