@@ -87,3 +87,19 @@ def test_eval_step_runs(setup):
     assert valid.shape == (2, cfg.post_nms_top_n["veh"])
     # finite outputs on valid rows
     assert np.isfinite(boxes[valid]).all()
+
+
+def test_planar_conv_matches_xla_conv(rng):
+    """conv3x3_planar (shifted channel-matmuls) == nn.Conv SAME, strides 1&2."""
+    import jax.numpy as jnp
+    from rangedet_tpu.models.layers import conv3x3_planar
+
+    x = jnp.asarray(rng.randn(2, 8, 20, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    for sw in (1, 2):
+        want = jax.lax.conv_general_dilated(
+            x, k, (1, sw), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        got = conv3x3_planar(x, k, sw)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
