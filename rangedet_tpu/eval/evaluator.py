@@ -1,0 +1,57 @@
+"""In-process evaluation: run the fused inference path over frames and score
+with the standalone AP evaluator — gives train-time validation metrics
+without the offline Waymo tooling round-trip (which eval/waymo_bin.py still
+provides for official submissions).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable
+
+import numpy as np
+
+
+def evaluate(
+    state,
+    model,
+    cfg,
+    frames: Iterable,
+    iou_thresh: float = 0.7,
+    mode: str = "bev",
+    max_frames: int = 0,
+) -> Dict[str, Dict[str, float]]:
+    """frames: iterable of (batch_dict, gt_by_class) where batch_dict is a
+    single-frame (B=1) input batch and gt_by_class maps class name ->
+    (M, 7) csa boxes. Returns {class: {ap, recall, precision}}."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.train_step import build_eval_inputs, make_eval_step
+    from .ap import average_precision
+
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
+
+    per_class = {name: [] for name in cfg.class_names}
+    n = 0
+    for batch, gt_by_class in frames:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = eval_step(state, prep(batch))
+        for name in cfg.class_names:
+            boxes = np.asarray(out[name]["boxes"][0])
+            valid = np.asarray(out[name]["valid"][0])
+            kept = boxes[valid]
+            per_class[name].append(
+                dict(
+                    det_csa=kept[:, :7],
+                    det_scores=kept[:, 7],
+                    gt_csa=np.asarray(gt_by_class.get(name, np.zeros((0, 7)))),
+                )
+            )
+        n += 1
+        if max_frames and n >= max_frames:
+            break
+
+    return {
+        name: average_precision(fr, iou_thresh=iou_thresh, mode=mode)
+        for name, fr in per_class.items()
+    }

@@ -18,6 +18,7 @@ def config_logger(experiment_dir: str, name: str) -> logging.Logger:
     os.makedirs(log_dir, exist_ok=True)
     logger = logging.getLogger("rangedet_tpu")
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))

@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run validation AP every N epochs (synthetic or "
+                        "cfg validation split)")
+    p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
 
@@ -125,7 +129,9 @@ def main():
 
     sample = make_sample(cfg, global_batch) if args.synthetic or not cfg.data_root \
         else next(iter(epoch_batches(0)))
-    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), sample)
+    state = create_train_state(
+        model, cfg, tx, jax.random.PRNGKey(args.seed), sample
+    )
     logger.info(f"params: {param_count(state) / 1e6:.2f}M")
 
     begin_epoch = cfg.begin_epoch
@@ -164,7 +170,41 @@ def main():
         if jax.process_index() == 0 and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
             path = save_checkpoint(state, cfg, epoch)
             logger.info(f"checkpoint: {path}")
+        if args.eval_every and (epoch + 1) % args.eval_every == 0:
+            metrics = run_validation(state, model, cfg, args, epoch)
+            logger.info(f"epoch {epoch} validation: {metrics}")
     logger.info("training complete")
+
+
+def run_validation(state, model, cfg, args, epoch, n_frames=8):
+    """Small in-process validation pass: synthetic scenes when no dataset,
+    else the first frames of the validation split."""
+    import numpy as np
+
+    from rangedet_tpu.eval.evaluator import evaluate
+
+    cfg_t = cfg.replace(is_train=False)
+    if args.synthetic or not cfg.data_root:
+        from rangedet_tpu.data.synthetic import make_batch
+
+        def frames():
+            for i in range(n_frames):
+                b = make_batch(cfg_t, 1, seed=90000 + i, num_boxes=8)
+                gt = b["gt_csa"][0][b["gt_valid"][0] > 0]
+                yield b, {cfg.class_names[0]: gt}
+    else:
+        from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
+
+        roidb = load_roidbs(cfg.data_root, "validation", 1, cfg.filter_class)
+
+        def frames():
+            for rec in roidb[:n_frames]:
+                b = record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes)
+                b = {k: v[None] for k, v in b.items()}
+                gt = np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7))))
+                yield b, {cfg.class_names[0]: gt}
+
+    return evaluate(state, model, cfg_t, frames(), iou_thresh=0.5, mode="bev")
 
 
 def make_sample(cfg, global_batch):
