@@ -105,3 +105,24 @@ def test_nms3d_greedy(rng):
     # scores of kept are in descending order
     ks = scores[keep_idx[:k]]
     assert (np.diff(ks) <= 1e-6).all()
+
+
+def test_wnms_3d_mode(rng):
+    """Volumetric IoU mode: boxes overlapping in BEV but disjoint in z must
+    not suppress each other."""
+    dets = _make_dets(rng, 1)
+    a = dets[0].copy()
+    b = dets[0].copy()
+    b[9] += b[10] + 1.0  # raise bottom above a's top: zero z-overlap
+    b[11] = 0.5
+    two = np.stack([a, b])
+    out12, valid = nms.weighted_nms(
+        jnp.asarray(two[:, :11]), jnp.asarray(two[:, 11]), jnp.ones(2, bool),
+        thresh=0.1, thresh_vote=0.5, max_keep=2, iou_3d=True,
+    )
+    assert np.asarray(valid).sum() == 2  # both survive in 3D mode
+    out12b, validb = nms.weighted_nms(
+        jnp.asarray(two[:, :11]), jnp.asarray(two[:, 11]), jnp.ones(2, bool),
+        thresh=0.1, thresh_vote=0.5, max_keep=2, iou_3d=False,
+    )
+    assert np.asarray(validb).sum() == 1  # BEV mode suppresses
