@@ -45,6 +45,12 @@ class RangeDetConfig:
     use_pallas_meta: bool = False
     remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
     remat_meta: bool = True  # recompute the 9C Meta-Kernel tensor in backward
+    # "planar" runs the conv stack in (B, C, H, W) with convs as shifted
+    # channel-matmuls — ~1.8x faster fwd+bwd on isolated conv chains and +7%
+    # on the full train step, but -20% on inference (the NHWC-wrapped
+    # deconv/meta transposes dominate at batch 1); net wash today, so the
+    # default stays "nhwc" until deconvs are planarized
+    layout: str = "nhwc"
 
     # ------------------------------------------------------------- loss
     vfl_alpha: float = 1.0
@@ -148,6 +154,7 @@ class RangeDetConfig:
             use_pallas_meta=self.use_pallas_meta,
             remat=self.remat,
             remat_meta=self.remat_meta,
+            layout=self.layout,
         )
 
     def replace(self, **kw) -> "RangeDetConfig":

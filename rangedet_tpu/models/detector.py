@@ -47,6 +47,7 @@ class RangeDet(nn.Module):
     use_pallas_meta: bool = False
     remat: bool = False
     remat_meta: bool = True
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
@@ -66,6 +67,7 @@ class RangeDet(nn.Module):
             use_pallas_meta=self.use_pallas_meta,
             remat=self.remat,
             remat_meta=self.remat_meta,
+            layout=self.layout,
             name="backbone",
         )(input_data, coords, train)
         return RangeRpnHead(
@@ -76,6 +78,7 @@ class RangeDet(nn.Module):
             reg_conv_layers=self.reg_conv_layers,
             reg_conv_channel=self.reg_conv_channel,
             dtype=self.dtype,
+            layout=self.layout,
             name="head",
         )(feats, train)
 

@@ -18,7 +18,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import BatchNorm, ConvNormRelu, DeconvNormRelu
+from .layers import (
+    BatchNorm,
+    ConvNormRelu,
+    DeconvNormRelu,
+    conv1x1_planar,
+    conv3x3_planar_core,
+)
 from .meta_kernel import MetaKernel
 
 DEFAULT_NUM_BLOCK = {
@@ -74,43 +80,70 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
     remat_meta: bool = True
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
         ura = not train
+        planar = self.layout == "planar"
         if self.meta_channel_list is not None:
             block_cls = (
                 nn.remat(MetaBlock, static_argnums=(3,))
                 if self.remat_meta
                 else MetaBlock
             )
+            mk_in = jnp.transpose(x, (0, 2, 3, 1)) if planar else x
             y = block_cls(
                 channel_list=tuple(self.meta_channel_list),
                 features=self.features,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_meta,
                 name="meta_block",
-            )(x, coords, train)
+            )(mk_in, coords, train)
+            if planar:
+                y = jnp.transpose(y, (0, 3, 1, 2))
         else:
             y = ConvNormRelu(
                 self.features, dtype=self.dtype, use_running_average=ura,
-                name="conv1",
+                layout=self.layout, name="conv1",
             )(x)
 
-        y = nn.Conv(
-            self.features, (3, 3), strides=self.strides, padding="SAME",
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="conv2",
+        if planar:
+            k2 = self.param(
+                "conv2_kernel", nn.initializers.lecun_normal(),
+                (3, 3, y.shape[1], self.features), jnp.float32,
+            )
+            y = conv3x3_planar_core(
+                y.astype(self.dtype), k2.astype(self.dtype), self.strides[1]
+            )
+        else:
+            y = nn.Conv(
+                self.features, (3, 3), strides=self.strides, padding="SAME",
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name="conv2",
+            )(y)
+        y = BatchNorm(
+            ura, self.dtype, channel_axis=1 if planar else -1, name="bn2"
         )(y)
-        y = BatchNorm(ura, self.dtype, name="bn2")(y)
 
         if self.proj:
-            sc = nn.Conv(
-                self.features, (1, 1), strides=self.strides, padding="SAME",
-                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                name="sc_conv",
-            )(x)
-            sc = BatchNorm(ura, self.dtype, name="sc_bn")(sc)
+            if planar:
+                ks = self.param(
+                    "sc_kernel", nn.initializers.lecun_normal(),
+                    (x.shape[1], self.features), jnp.float32,
+                )
+                sc = conv1x1_planar(
+                    x.astype(self.dtype), ks.astype(self.dtype), self.strides[1]
+                )
+            else:
+                sc = nn.Conv(
+                    self.features, (1, 1), strides=self.strides, padding="SAME",
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="sc_conv",
+                )(x)
+            sc = BatchNorm(
+                ura, self.dtype, channel_axis=1 if planar else -1, name="sc_bn"
+            )(sc)
         else:
             sc = x
         return nn.relu(y + sc)
@@ -128,6 +161,7 @@ class ResStage(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
     remat_meta: bool = True
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -145,6 +179,7 @@ class ResStage(nn.Module):
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
                 remat_meta=self.remat_meta,
+                layout=self.layout,
                 name=unit_name,
             )(x, coords, train)
         return x
@@ -166,6 +201,7 @@ class DLABackbone(nn.Module):
     # equivalent of the reference's memonger mirror planning
     # (utils/memonger_v2.py:172-273; off in shipped configs, config:169)
     remat: bool = False
+    layout: str = "nhwc"  # "planar": internal (B, C, H, W), see layers.py
 
     @nn.compact
     def __call__(self, data, coords, train: bool = True):
@@ -174,6 +210,9 @@ class DLABackbone(nn.Module):
         meta = self.meta_units if self.meta_units is not None else DEFAULT_META_UNITS
 
         data = data.astype(self.dtype)
+        planar = self.layout == "planar"
+        if planar:
+            data = jnp.transpose(data, (0, 3, 1, 2))
 
         def res(name, x, strides, coords=None):
             stage_cls = ResStage
@@ -188,13 +227,15 @@ class DLABackbone(nn.Module):
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
                 remat_meta=self.remat_meta,
+                layout=self.layout,
                 name=name,
             )(x, coords, train)
 
         def agg(name, x_const, x_up, deconv_kernel, deconv_strides):
             up = DeconvNormRelu(
                 nf[name], deconv_kernel, deconv_strides, dtype=self.dtype,
-                use_running_average=not train, name=f"{name}_deconv",
+                use_running_average=not train, layout=self.layout,
+                name=f"{name}_deconv",
             )(x_up)
             return res(name, x_const + up, (1, 1))
 
@@ -210,7 +251,7 @@ class DLABackbone(nn.Module):
         agg3 = agg("agg3", agg1, agg2a, (3, 4), (1, 2))
 
         if self.add_data_sc:
-            agg3 = jnp.concatenate([data, agg3], axis=-1)
+            agg3 = jnp.concatenate([data, agg3], axis=1 if planar else -1)
 
         out: Dict[int, jnp.ndarray] = {1: agg3, 2: agg2a, 4: agg2, 16: res3}
         return [out[s] for s in self.fpn_strides]

@@ -13,7 +13,7 @@ from typing import Any, List, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvNormRelu
+from .layers import ConvNormRelu, conv1x1_planar
 
 
 class RangeRpnHead(nn.Module):
@@ -24,6 +24,7 @@ class RangeRpnHead(nn.Module):
     reg_conv_layers: int = 4
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -35,6 +36,7 @@ class RangeRpnHead(nn.Module):
         shapes (B, H, W_s, num_classes) and (B, H, W_s, num_classes * 8).
         """
         gauss = nn.initializers.normal(0.01)
+        planar = self.layout == "planar"
         cls_out, reg_out = [], []
         for level, feat in enumerate(feats):
             cls_feat = reg_feat = feat.astype(self.dtype)
@@ -44,6 +46,7 @@ class RangeRpnHead(nn.Module):
                     dtype=self.dtype,
                     use_running_average=not train,
                     kernel_init=gauss,
+                    layout=self.layout,
                     name=f"cls_conv_{i}_lvl_{level}",
                 )(cls_feat)
             for i in range(self.reg_conv_layers):
@@ -52,20 +55,39 @@ class RangeRpnHead(nn.Module):
                     dtype=self.dtype,
                     use_running_average=not train,
                     kernel_init=gauss,
+                    layout=self.layout,
                     name=f"reg_conv_{i}_lvl_{level}",
                 )(reg_feat)
 
-            cls_logit = nn.Conv(
-                self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
-                param_dtype=jnp.float32, kernel_init=gauss,
-                name=f"cls_logit_lvl_{level}",
-            )(cls_feat)
-            reg_delta = nn.Conv(
-                self.num_classes * self.num_reg_delta, (1, 1), use_bias=True,
-                dtype=self.dtype, param_dtype=jnp.float32, kernel_init=gauss,
-                name=f"reg_delta_lvl_{level}",
-            )(reg_feat)
+            if planar:
+                cls_logit = self._head_1x1(
+                    cls_feat, self.num_classes, gauss, f"cls_logit_lvl_{level}"
+                )
+                reg_delta = self._head_1x1(
+                    reg_feat, self.num_classes * self.num_reg_delta, gauss,
+                    f"reg_delta_lvl_{level}",
+                )
+                # external contract stays NHWC fp32
+                cls_logit = jnp.transpose(cls_logit, (0, 2, 3, 1))
+                reg_delta = jnp.transpose(reg_delta, (0, 2, 3, 1))
+            else:
+                cls_logit = nn.Conv(
+                    self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=gauss,
+                    name=f"cls_logit_lvl_{level}",
+                )(cls_feat)
+                reg_delta = nn.Conv(
+                    self.num_classes * self.num_reg_delta, (1, 1), use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, kernel_init=gauss,
+                    name=f"reg_delta_lvl_{level}",
+                )(reg_feat)
 
             cls_out.append(cls_logit.astype(jnp.float32))
             reg_out.append(reg_delta.astype(jnp.float32))
         return cls_out, reg_out
+
+    def _head_1x1(self, x, features, init, name):
+        k = self.param(f"{name}_kernel", init, (x.shape[1], features), jnp.float32)
+        b = self.param(f"{name}_bias", nn.initializers.zeros, (features,), jnp.float32)
+        out = conv1x1_planar(x, k.astype(self.dtype))
+        return out + b.astype(self.dtype)[None, :, None, None]

@@ -36,10 +36,12 @@ class BatchNorm(nn.Module):
 
     use_running_average: bool
     dtype: Dtype = jnp.float32
+    channel_axis: int = -1  # -1 for NHWC, 1 for planar (B, C, H, W)
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
+        ch_axis = self.channel_axis % x.ndim
+        C = x.shape[ch_axis]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
         )
@@ -49,7 +51,7 @@ class BatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
-        axes = tuple(range(x.ndim - 1))
+        axes = tuple(a for a in range(x.ndim) if a != ch_axis)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -61,53 +63,76 @@ class BatchNorm(nn.Module):
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
 
+        shape = [1] * x.ndim
+        shape[ch_axis] = C
         inv = jax.lax.rsqrt(var + BN_EPSILON) * scale
-        mul = inv.astype(self.dtype)
-        add = (bias - mean * inv).astype(self.dtype)
+        mul = inv.astype(self.dtype).reshape(shape)
+        add = (bias - mean * inv).astype(self.dtype).reshape(shape)
         return x.astype(self.dtype) * mul + add
 
 
-def conv3x3_planar(
-    x: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
+def conv3x3_planar_core(
+    xp: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
 ) -> jnp.ndarray:
-    """3x3 SAME conv as 9 shifted channel-matmuls in planar (B, C, H, W)
-    layout — the v5e conv emitter sustains only ~8 TF/s fwd+bwd on the
-    64-channel full-width range-image stages, while this formulation reaches
-    ~15 TF/s (XLA cancels the wrapping transposes between consecutive planar
-    convs). Numerically identical to nn.Conv(padding='SAME').
+    """3x3 SAME conv as 9 shifted channel-matmuls on planar (B, C, H, W)
+    input. Numerically identical to nn.Conv(padding='SAME') in NHWC.
 
-    x: (B, H, W, C_in) NHWC; kernel: (3, 3, C_in, C_out); stride_w ∈ {1, 2}.
+    The v5e conv emitter sustains only ~8 TF/s fwd+bwd on the 64-channel
+    full-width range-image stages; this formulation reaches ~15 TF/s, and a
+    fully-planar block (BN over axis 1) keeps the gain end-to-end.
     """
-    B, H, W, Ci = x.shape
-    Co = kernel.shape[-1]
-    xp = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, H, W)
-    # SAME padding: stride 1 -> pad (1,1); stride 2, kernel 3 -> pad (0,1)
+    B, Ci, H, W = xp.shape
     if stride_w == 1:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        xq = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, 1)))
         Wo = W
     else:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 1)))
+        # SAME for stride 2, kernel 3: pad (0, 1) on W
+        xq = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 1)))
         Wo = -(-W // stride_w)
     out = None
     for dy in range(3):
         for dx in range(3):
             if stride_w == 1:
-                sh = jax.lax.dynamic_slice(xp, (0, 0, dy, dx), (B, Ci, H, W))
+                sh = jax.lax.dynamic_slice(xq, (0, 0, dy, dx), (B, Ci, H, W))
             else:
                 sh = jax.lax.slice(
-                    xp, (0, 0, dy, dx), (B, Ci, dy + H, dx + 1 + (Wo - 1) * stride_w),
+                    xq, (0, 0, dy, dx),
+                    (B, Ci, dy + H, dx + 1 + (Wo - 1) * stride_w),
                     (1, 1, 1, stride_w),
                 )
             o = jnp.einsum(
                 "bihw,io->bohw", sh, kernel[dy, dx],
-                preferred_element_type=x.dtype,
+                preferred_element_type=xp.dtype,
             )
             out = o if out is None else out + o
+    return out
+
+
+def conv1x1_planar(xp: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
+                   ) -> jnp.ndarray:
+    """1x1 conv on planar input: one channel matmul; kernel (C_in, C_out)."""
+    if stride_w != 1:
+        xp = xp[:, :, :, ::stride_w]
+    return jnp.einsum("bihw,io->bohw", xp, kernel,
+                      preferred_element_type=xp.dtype)
+
+
+def conv3x3_planar(
+    x: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
+) -> jnp.ndarray:
+    """NHWC-wrapped planar conv (transposes in/out); see conv3x3_planar_core."""
+    xp = jnp.transpose(x, (0, 3, 1, 2))
+    out = conv3x3_planar_core(xp, kernel, stride_w)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
 class ConvNormRelu(nn.Module):
-    """3x3 (default) conv + BN + relu, the basic unit of backbone and head."""
+    """3x3 (default) conv + BN + relu, the basic unit of backbone and head.
+
+    layout="planar" takes/returns (B, C, H, W) and runs the conv as shifted
+    channel-matmuls with BN over axis 1 — ~1.8× faster fwd+bwd than the NHWC
+    conv emitter at the model's channel widths on v5e (BENCH.md).
+    """
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -115,41 +140,42 @@ class ConvNormRelu(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     kernel_init: Any = nn.initializers.lecun_normal()
-    # "planar" (shifted channel-matmuls) wins 1.3-1.5x on isolated conv
-    # chains but loses in the full net (interleaved NHWC BN/relu prevents the
-    # wrapping transposes from cancelling) — keep "xla" until the block is
-    # fully planar
-    conv_impl: str = "xla"
+    layout: str = "nhwc"  # or "planar"
 
     @nn.compact
     def __call__(self, x):
-        use_planar = (
-            self.conv_impl == "planar"
-            and self.kernel == (3, 3)
-            and self.strides[0] == 1
-            and self.strides[1] in (1, 2)
-        )
-        if use_planar:
-            Ci = x.shape[-1]
-            kernel = self.param(
-                "conv_kernel", self.kernel_init, (3, 3, Ci, self.features),
-                jnp.float32,
-            )
-            x = conv3x3_planar(
-                x.astype(self.dtype), kernel.astype(self.dtype), self.strides[1]
-            )
-        else:
-            x = nn.Conv(
-                self.features,
-                self.kernel,
-                strides=self.strides,
-                padding="SAME",
-                use_bias=False,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=self.kernel_init,
-                name="conv",
+        if self.layout == "planar":
+            assert self.strides[0] == 1 and self.strides[1] in (1, 2)
+            Ci = x.shape[1]
+            x = x.astype(self.dtype)
+            if self.kernel == (1, 1):
+                k = self.param(
+                    "kernel", self.kernel_init, (Ci, self.features), jnp.float32
+                )
+                x = conv1x1_planar(x, k.astype(self.dtype), self.strides[1])
+            else:
+                assert self.kernel == (3, 3)
+                k = self.param(
+                    "kernel", self.kernel_init, (3, 3, Ci, self.features),
+                    jnp.float32,
+                )
+                x = conv3x3_planar_core(x, k.astype(self.dtype), self.strides[1])
+            x = BatchNorm(
+                self.use_running_average, self.dtype, channel_axis=1, name="bn"
             )(x)
+            return nn.relu(x)
+
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
         x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -167,9 +193,12 @@ class DeconvNormRelu(nn.Module):
     strides: Tuple[int, int]
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
+        if self.layout == "planar":  # (B, C, H, W): wrap the XLA transposed
+            x = jnp.transpose(x, (0, 2, 3, 1))  # conv (only 4 deconvs total)
         x = nn.ConvTranspose(
             self.features,
             self.kernel,
@@ -180,7 +209,13 @@ class DeconvNormRelu(nn.Module):
             param_dtype=jnp.float32,
             name="deconv",
         )(x)
-        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        if self.layout == "planar":
+            x = jnp.transpose(x, (0, 3, 1, 2))
+            x = BatchNorm(
+                self.use_running_average, self.dtype, channel_axis=1, name="bn"
+            )(x)
+        else:
+            x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
