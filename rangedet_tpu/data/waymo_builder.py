@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import pickle
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -92,7 +92,7 @@ def build_segment(
     try:
         import tensorflow as tf
         from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils, range_image_utils
+        from waymo_open_dataset.utils import frame_utils
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "tensorflow + waymo_open_dataset are required for the offline "

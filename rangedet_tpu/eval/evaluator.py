@@ -5,7 +5,7 @@ provides for official submissions).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable
+from typing import Dict, Iterable
 
 import numpy as np
 

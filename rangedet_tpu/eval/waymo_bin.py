@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import json
 import pickle
-from typing import Dict
-
 TYPE_BY_NAME = {"veh": 1, "ped": 2, "cyc": 4, "sign": 3, "unknown": 0}
 
 

@@ -11,7 +11,7 @@ rangedet/symbol/head/builder.py:257-261).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ only matter at eval).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax

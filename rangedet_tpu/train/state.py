@@ -8,7 +8,6 @@ from typing import Any
 
 import flax
 import jax
-import optax
 from flax.training import train_state
 
 

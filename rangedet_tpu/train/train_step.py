@@ -10,7 +10,7 @@ inserts the gradient all-reduce over ICI.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
