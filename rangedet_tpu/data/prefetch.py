@@ -1,0 +1,48 @@
+"""Host→device prefetch: overlap batch preparation and transfer with the
+device step (the reference achieves this with PostMergeBatchLoader's
+collector threads + MXNet's async engine; in JAX we pipeline device_put)."""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+
+def threaded_prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run the source iterator in a background thread, `depth` items ahead."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except Exception as e:  # surface in the consumer
+            q.put(e)
+        finally:
+            q.put(END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
+def device_prefetch(
+    iterator: Iterator, put: Callable, depth: int = 2
+) -> Iterator:
+    """Apply `put` (e.g. shard_batch) ahead of consumption so transfers
+    overlap the previous step's execution."""
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -149,12 +149,18 @@ def main():
         os.path.join(cfg.experiment_dir, cfg.name, "traces"), 10, args.profile_steps
     )
 
+    from rangedet_tpu.data.prefetch import device_prefetch, threaded_prefetch
+
     # ----------------------------------------------------------------- loop
     global_step = begin_epoch * steps_per_epoch
     for epoch in range(begin_epoch, cfg.end_epoch):
         t_ep = time.time()
-        for i, batch in enumerate(epoch_batches(epoch)):
-            batch = shard_batch(batch, mesh)
+        batches = device_prefetch(
+            threaded_prefetch(iter(epoch_batches(epoch)), depth=2),
+            put=lambda b: shard_batch(b, mesh),
+            depth=2,
+        )
+        for i, batch in enumerate(batches):
             profiler(global_step)
             state, metrics = train_step(state, batch)
             speedometer(
