@@ -126,6 +126,51 @@ def conv3x3_planar(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+def deconv_planar(
+    xp: jnp.ndarray, kernel: jnp.ndarray, stride_w: int
+) -> jnp.ndarray:
+    """Transposed conv with stride (1, s) and SAME padding on planar
+    (B, C, H, W) input as *phase-decomposed* stride-1 channel-matmuls: output
+    phase p (columns p, p+s, ...) is a small (kh × kw/s)-tap conv of the
+    input, so the whole deconv is kh·kw shifted matmuls plus an interleave —
+    no zero-dilated input, no NHWC transposes. Numerically identical to
+    nn.ConvTranspose(padding='SAME') (kernel (kh, kw, C_in, C_out); the
+    transposed conv correlates with the *flipped* kernel).
+
+    Covers the reference's agg deconvs (3,8)/s4 and (3,4)/s2
+    (dla_backbone.py:144-151).
+    """
+    B, Ci, H, W = xp.shape
+    kh, kw, _, Co = kernel.shape
+    s = stride_w
+    assert kw % s == 0, (kw, s)
+    pad = (kw - s) // 2
+    J = kw // s
+    pad_h = (kh - 1) // 2
+    xq = jnp.pad(xp, ((0, 0), (0, 0), (pad_h, pad_h), (J + 2, J + 2)))
+    phases = []
+    for p in range(s):
+        k0 = (p + pad) % s
+        D = (p + pad - k0) // s
+        acc = None
+        for dy in range(kh):
+            hoff = pad_h + pad_h - dy
+            for j in range(J):
+                k_idx = k0 + j * s
+                kk = kernel[kh - 1 - dy, kw - 1 - k_idx]
+                moff = J + 2 + D - j
+                sh = jax.lax.dynamic_slice(
+                    xq, (0, 0, hoff, moff), (B, Ci, H, W)
+                )
+                o = jnp.einsum(
+                    "bihw,io->bohw", sh, kk, preferred_element_type=xp.dtype
+                )
+                acc = o if acc is None else acc + o
+        phases.append(acc)
+    out = jnp.stack(phases, axis=-1)  # (B, Co, H, W, s)
+    return out.reshape(B, Co, H, W * s)
+
+
 class ConvNormRelu(nn.Module):
     """3x3 (default) conv + BN + relu, the basic unit of backbone and head.
 
@@ -197,8 +242,21 @@ class DeconvNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.layout == "planar":  # (B, C, H, W): wrap the XLA transposed
-            x = jnp.transpose(x, (0, 2, 3, 1))  # conv (only 4 deconvs total)
+        if self.layout == "planar":
+            assert self.strides[0] == 1
+            k = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                self.kernel + (x.shape[1], self.features),
+                jnp.float32,
+            )
+            x = deconv_planar(
+                x.astype(self.dtype), k.astype(self.dtype), self.strides[1]
+            )
+            x = BatchNorm(
+                self.use_running_average, self.dtype, channel_axis=1, name="bn"
+            )(x)
+            return nn.relu(x)
         x = nn.ConvTranspose(
             self.features,
             self.kernel,
@@ -209,13 +267,7 @@ class DeconvNormRelu(nn.Module):
             param_dtype=jnp.float32,
             name="deconv",
         )(x)
-        if self.layout == "planar":
-            x = jnp.transpose(x, (0, 3, 1, 2))
-            x = BatchNorm(
-                self.use_running_average, self.dtype, channel_axis=1, name="bn"
-            )(x)
-        else:
-            x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
         return nn.relu(x)
 
 

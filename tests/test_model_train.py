@@ -103,3 +103,23 @@ def test_planar_conv_matches_xla_conv(rng):
         got = conv3x3_planar(x, k, sw)
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_planar_deconv_matches_conv_transpose(rng):
+    """deconv_planar (phase-decomposed matmuls) == nn.ConvTranspose SAME for
+    the backbone's (3,8)/s4 and (3,4)/s2 aggregation deconvs."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from rangedet_tpu.models.layers import deconv_planar
+
+    for kh, kw, s in [(3, 8, 4), (3, 4, 2)]:
+        x = jnp.asarray(rng.randn(2, 6, 10, 3).astype(np.float32))
+        dec = nn.ConvTranspose(4, (kh, kw), strides=(1, s), padding="SAME",
+                               use_bias=False)
+        v = dec.init(jax.random.PRNGKey(0), x)
+        want = dec.apply(v, x)
+        got = deconv_planar(
+            jnp.transpose(x, (0, 3, 1, 2)), v["params"]["kernel"], s
+        )
+        got = jnp.transpose(got, (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
