@@ -70,7 +70,14 @@ def main():
     ebatch = build_eval_inputs(
         {k: jnp.asarray(v) for k, v in ebatch_np.items()}, cfg_t
     )
-    eval_step = jax.jit(make_eval_step(model, cfg_t))
+    if cfg_t.layout != cfg.layout:
+        from rangedet_tpu.models.convert import convert_params
+
+        eval_model = RangeDet(**cfg_t.model_kwargs())
+        state = state.replace(params=convert_params(state.params, cfg_t.layout))
+    else:
+        eval_model = model
+    eval_step = jax.jit(make_eval_step(eval_model, cfg_t))
     for _ in range(N_WARMUP):
         out = eval_step(state, ebatch)
     float(out["veh"]["boxes"][0, 0, 0])

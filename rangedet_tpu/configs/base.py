@@ -45,11 +45,10 @@ class RangeDetConfig:
     use_pallas_meta: bool = False
     remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
     remat_meta: bool = True  # recompute the 9C Meta-Kernel tensor in backward
-    # "planar" runs the conv stack in (B, C, H, W) with convs as shifted
-    # channel-matmuls — ~1.8x faster fwd+bwd on isolated conv chains and +7%
-    # on the full train step, but -20% on inference (the NHWC-wrapped
-    # deconv/meta transposes dominate at batch 1); net wash today, so the
-    # default stays "nhwc" until deconvs are planarized
+    # "planar" runs the conv stack (incl. phase-decomposed deconvs) in
+    # (B, C, H, W) as shifted channel-matmuls: ~9% faster train step; NHWC is
+    # faster at batch-1 inference, so recipes train planar and eval nhwc —
+    # models/convert.py moves checkpoints between layouts exactly
     layout: str = "nhwc"
 
     # ------------------------------------------------------------- loss

@@ -82,8 +82,28 @@ def main():
     tx, _ = build_optimizer(cfg, 1000)
     dummy = next(iter(frames()))[1]
     dummy = {k: np.asarray(v) for k, v in dummy.items()}
-    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), dummy)
-    state, ep = restore_checkpoint(state, cfg, args.epoch)
+
+    # checkpoints are written in the TRAIN layout; restore with a matching
+    # template and convert params if the eval layout differs
+    train_cfg = load_config(args.config, is_train=True)
+    if train_cfg.layout != cfg.layout:
+        from rangedet_tpu.models.convert import convert_params
+
+        train_model = RangeDet(**train_cfg.model_kwargs())
+        t_state = create_train_state(
+            train_model, train_cfg, tx, jax.random.PRNGKey(0), dummy
+        )
+        t_state, ep = restore_checkpoint(t_state, train_cfg.replace(
+            experiment_dir=cfg.experiment_dir, name=cfg.name), args.epoch)
+        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), dummy)
+        if ep is not None:
+            state = state.replace(
+                params=convert_params(t_state.params, cfg.layout),
+                batch_stats=t_state.batch_stats,
+            )
+    else:
+        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), dummy)
+        state, ep = restore_checkpoint(state, cfg, args.epoch)
     logger.info(f"checkpoint epoch: {ep}")
 
     eval_step = jax.jit(make_eval_step(model, cfg))
