@@ -29,6 +29,9 @@ def tiny_config(name="rangedet_veh_wo_aug_4_18e", is_train=True, **overrides):
         reg_conv_channel=32,
         device_topk={"veh": 256, "ped": 256, "cyc": 256},
         iou_topk_gt=8,
+        # tests default to one layout to keep CPU compile time bounded; the
+        # planar path is covered by test_convert + test_planar_* explicitly
+        layout="nhwc",
     )
     defaults.update(overrides)
     return cfg.replace(**defaults)
