@@ -99,3 +99,25 @@ def test_batch_loader_propagates_errors():
     loader = BatchLoader(list(range(5)), bad_map, 5, shuffle=False, num_workers=2)
     with pytest.raises(ValueError, match="boom"):
         list(loader.epoch())
+
+
+def test_prefetch_pipeline():
+    from rangedet_tpu.data.prefetch import device_prefetch, threaded_prefetch
+
+    items = list(range(10))
+    out = list(threaded_prefetch(iter(items), depth=3))
+    assert out == items
+
+    calls = []
+    out2 = list(device_prefetch(iter(items), put=lambda x: calls.append(x) or x * 2, depth=2))
+    assert out2 == [x * 2 for x in items]
+    assert calls == items
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        list(threaded_prefetch(boom(), depth=2))
