@@ -43,6 +43,7 @@ class RangeDetConfig:
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    use_pallas_conv: bool = True  # Pallas conv3x3 kernels (layout="bhcw")
     remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
     remat_meta: bool = True  # recompute the 9C Meta-Kernel tensor in backward
     # "planar" runs the conv stack (incl. phase-decomposed deconvs) in
@@ -151,6 +152,7 @@ class RangeDetConfig:
             reg_conv_channel=self.reg_conv_channel,
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
+            use_pallas_conv=self.use_pallas_conv,
             remat=self.remat,
             remat_meta=self.remat_meta,
             layout=self.layout,

@@ -66,6 +66,11 @@ def _walk(tree: Dict[str, Any], planar_to_nhwc: bool) -> Dict[str, Any]:
 
 
 def convert_params(params, to_layout: str):
-    """Convert a RangeDet params pytree between layouts ("planar"/"nhwc")."""
+    """Convert a RangeDet params pytree between layouts.
+
+    "planar" and "bhcw" share an identical parameter tree (the layouts
+    differ only in activation axis order), so conversion is only needed to
+    or from "nhwc"; planar<->bhcw checkpoints are interchangeable as-is.
+    """
     tree = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
     return _walk(tree, planar_to_nhwc=(to_layout == "nhwc"))

@@ -45,6 +45,7 @@ class RangeDet(nn.Module):
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    use_pallas_conv: bool = True
     remat: bool = False
     remat_meta: bool = True
     layout: str = "nhwc"
@@ -65,6 +66,7 @@ class RangeDet(nn.Module):
             add_data_sc=self.add_data_sc,
             dtype=self.dtype,
             use_pallas_meta=self.use_pallas_meta,
+            use_pallas_conv=self.use_pallas_conv,
             remat=self.remat,
             remat_meta=self.remat_meta,
             layout=self.layout,
@@ -79,6 +81,7 @@ class RangeDet(nn.Module):
             reg_conv_channel=self.reg_conv_channel,
             dtype=self.dtype,
             layout=self.layout,
+            use_pallas_conv=self.use_pallas_conv,
             name="head",
         )(feats, train)
 

@@ -18,10 +18,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (
+    PLANAR_LAYOUTS,
     BatchNorm,
     ConvNormRelu,
     DeconvNormRelu,
+    channel_axis_of,
+    conv1x1_bhcw,
     conv1x1_planar,
+    conv3x3_bhcw_best,
     conv3x3_planar_core,
 )
 from .meta_kernel import MetaKernel
@@ -78,20 +82,27 @@ class BasicBlock(nn.Module):
     meta_channel_list: Optional[Sequence[int]] = None
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    use_pallas_conv: bool = True
     remat_meta: bool = True
     layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
         ura = not train
-        planar = self.layout == "planar"
+        planar = self.layout in PLANAR_LAYOUTS
+        ch_ax = channel_axis_of(self.layout)
         if self.meta_channel_list is not None:
             block_cls = (
                 nn.remat(MetaBlock, static_argnums=(3,))
                 if self.remat_meta
                 else MetaBlock
             )
-            mk_in = jnp.transpose(x, (0, 2, 3, 1)) if planar else x
+            if self.layout == "planar":
+                mk_in = jnp.transpose(x, (0, 2, 3, 1))
+            elif self.layout == "bhcw":
+                mk_in = jnp.transpose(x, (0, 1, 3, 2))
+            else:
+                mk_in = x
             y = block_cls(
                 channel_list=tuple(self.meta_channel_list),
                 features=self.features,
@@ -99,22 +110,32 @@ class BasicBlock(nn.Module):
                 use_pallas=self.use_pallas_meta,
                 name="meta_block",
             )(mk_in, coords, train)
-            if planar:
+            if self.layout == "planar":
                 y = jnp.transpose(y, (0, 3, 1, 2))
+            elif self.layout == "bhcw":
+                y = jnp.transpose(y, (0, 1, 3, 2))
         else:
             y = ConvNormRelu(
                 self.features, dtype=self.dtype, use_running_average=ura,
-                layout=self.layout, name="conv1",
+                layout=self.layout, use_pallas=self.use_pallas_conv,
+                name="conv1",
             )(x)
 
         if planar:
             k2 = self.param(
                 "conv2_kernel", nn.initializers.lecun_normal(),
-                (3, 3, y.shape[1], self.features), jnp.float32,
+                (3, 3, y.shape[ch_ax], self.features), jnp.float32,
             )
-            y = conv3x3_planar_core(
-                y.astype(self.dtype), k2.astype(self.dtype), self.strides[1]
-            )
+            if self.layout == "planar":
+                y = conv3x3_planar_core(
+                    y.astype(self.dtype), k2.astype(self.dtype),
+                    self.strides[1]
+                )
+            else:
+                y = conv3x3_bhcw_best(
+                    y.astype(self.dtype), k2.astype(self.dtype),
+                    self.strides[1], self.use_pallas_conv,
+                )
         else:
             y = nn.Conv(
                 self.features, (3, 3), strides=self.strides, padding="SAME",
@@ -122,16 +143,19 @@ class BasicBlock(nn.Module):
                 name="conv2",
             )(y)
         y = BatchNorm(
-            ura, self.dtype, channel_axis=1 if planar else -1, name="bn2"
+            ura, self.dtype, channel_axis=ch_ax, name="bn2"
         )(y)
 
         if self.proj:
             if planar:
                 ks = self.param(
                     "sc_kernel", nn.initializers.lecun_normal(),
-                    (x.shape[1], self.features), jnp.float32,
+                    (x.shape[ch_ax], self.features), jnp.float32,
                 )
-                sc = conv1x1_planar(
+                c1 = (
+                    conv1x1_planar if self.layout == "planar" else conv1x1_bhcw
+                )
+                sc = c1(
                     x.astype(self.dtype), ks.astype(self.dtype), self.strides[1]
                 )
             else:
@@ -141,7 +165,7 @@ class BasicBlock(nn.Module):
                     name="sc_conv",
                 )(x)
             sc = BatchNorm(
-                ura, self.dtype, channel_axis=1 if planar else -1, name="sc_bn"
+                ura, self.dtype, channel_axis=ch_ax, name="sc_bn"
             )(sc)
         else:
             sc = x
@@ -159,6 +183,7 @@ class ResStage(nn.Module):
     meta_units: Mapping[str, dict] = None
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    use_pallas_conv: bool = True
     remat_meta: bool = True
     layout: str = "nhwc"
 
@@ -177,6 +202,7 @@ class ResStage(nn.Module):
                 ),
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
+                use_pallas_conv=self.use_pallas_conv,
                 remat_meta=self.remat_meta,
                 layout=self.layout,
                 name=unit_name,
@@ -195,6 +221,7 @@ class DLABackbone(nn.Module):
     add_data_sc: bool = True
     dtype: Any = jnp.bfloat16
     use_pallas_meta: bool = False
+    use_pallas_conv: bool = True
     remat_meta: bool = True
     # gradient checkpointing over res/agg stages — the jax.checkpoint
     # equivalent of the reference's memonger mirror planning
@@ -209,9 +236,11 @@ class DLABackbone(nn.Module):
         meta = self.meta_units if self.meta_units is not None else DEFAULT_META_UNITS
 
         data = data.astype(self.dtype)
-        planar = self.layout == "planar"
-        if planar:
+        planar = self.layout in PLANAR_LAYOUTS
+        if self.layout == "planar":
             data = jnp.transpose(data, (0, 3, 1, 2))
+        elif self.layout == "bhcw":
+            data = jnp.transpose(data, (0, 1, 3, 2))
 
         def res(name, x, strides, coords=None):
             stage_cls = ResStage
@@ -225,6 +254,7 @@ class DLABackbone(nn.Module):
                 meta_units=meta,
                 dtype=self.dtype,
                 use_pallas_meta=self.use_pallas_meta,
+                use_pallas_conv=self.use_pallas_conv,
                 remat_meta=self.remat_meta,
                 layout=self.layout,
                 name=name,
@@ -250,7 +280,9 @@ class DLABackbone(nn.Module):
         agg3 = agg("agg3", agg1, agg2a, (3, 4), (1, 2))
 
         if self.add_data_sc:
-            agg3 = jnp.concatenate([data, agg3], axis=1 if planar else -1)
+            agg3 = jnp.concatenate(
+                [data, agg3], axis=channel_axis_of(self.layout)
+            )
 
         out: Dict[int, jnp.ndarray] = {1: agg3, 2: agg2a, 4: agg2, 16: res3}
         return [out[s] for s in self.fpn_strides]

@@ -13,7 +13,13 @@ from typing import Any, List, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvNormRelu, conv1x1_planar
+from .layers import (
+    PLANAR_LAYOUTS,
+    ConvNormRelu,
+    channel_axis_of,
+    conv1x1_bhcw,
+    conv1x1_planar,
+)
 
 
 class RangeRpnHead(nn.Module):
@@ -25,6 +31,7 @@ class RangeRpnHead(nn.Module):
     reg_conv_channel: int = 128
     dtype: Any = jnp.bfloat16
     layout: str = "nhwc"
+    use_pallas_conv: bool = True
 
     @nn.compact
     def __call__(
@@ -36,7 +43,7 @@ class RangeRpnHead(nn.Module):
         shapes (B, H, W_s, num_classes) and (B, H, W_s, num_classes * 8).
         """
         gauss = nn.initializers.normal(0.01)
-        planar = self.layout == "planar"
+        planar = self.layout in PLANAR_LAYOUTS
         cls_out, reg_out = [], []
         for level, feat in enumerate(feats):
             cls_feat = reg_feat = feat.astype(self.dtype)
@@ -47,6 +54,7 @@ class RangeRpnHead(nn.Module):
                     use_running_average=not train,
                     kernel_init=gauss,
                     layout=self.layout,
+                    use_pallas=self.use_pallas_conv,
                     name=f"cls_conv_{i}_lvl_{level}",
                 )(cls_feat)
             for i in range(self.reg_conv_layers):
@@ -56,6 +64,7 @@ class RangeRpnHead(nn.Module):
                     use_running_average=not train,
                     kernel_init=gauss,
                     layout=self.layout,
+                    use_pallas=self.use_pallas_conv,
                     name=f"reg_conv_{i}_lvl_{level}",
                 )(reg_feat)
 
@@ -68,8 +77,9 @@ class RangeRpnHead(nn.Module):
                     f"reg_delta_lvl_{level}",
                 )
                 # external contract stays NHWC fp32
-                cls_logit = jnp.transpose(cls_logit, (0, 2, 3, 1))
-                reg_delta = jnp.transpose(reg_delta, (0, 2, 3, 1))
+                perm = (0, 2, 3, 1) if self.layout == "planar" else (0, 1, 3, 2)
+                cls_logit = jnp.transpose(cls_logit, perm)
+                reg_delta = jnp.transpose(reg_delta, perm)
             else:
                 cls_logit = nn.Conv(
                     self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
@@ -87,7 +97,15 @@ class RangeRpnHead(nn.Module):
         return cls_out, reg_out
 
     def _head_1x1(self, x, features, init, name):
-        k = self.param(f"{name}_kernel", init, (x.shape[1], features), jnp.float32)
-        b = self.param(f"{name}_bias", nn.initializers.zeros, (features,), jnp.float32)
-        out = conv1x1_planar(x, k.astype(self.dtype))
-        return out + b.astype(self.dtype)[None, :, None, None]
+        ch_ax = channel_axis_of(self.layout)
+        k = self.param(
+            f"{name}_kernel", init, (x.shape[ch_ax], features), jnp.float32
+        )
+        b = self.param(
+            f"{name}_bias", nn.initializers.zeros, (features,), jnp.float32
+        )
+        if self.layout == "planar":
+            out = conv1x1_planar(x, k.astype(self.dtype))
+            return out + b.astype(self.dtype)[None, :, None, None]
+        out = conv1x1_bhcw(x, k.astype(self.dtype))
+        return out + b.astype(self.dtype)[None, None, :, None]

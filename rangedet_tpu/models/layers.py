@@ -17,7 +17,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.conv_pallas import _pick_rows_per_step
+from ..ops.conv_pallas import conv3x3_bhcw as conv3x3_pallas
+
 Dtype = Any
+
+PLANAR_LAYOUTS = ("planar", "bhcw")  # channel-major / channel-sublane
+
+
+def channel_axis_of(layout: str) -> int:
+    return {"planar": 1, "bhcw": 2}.get(layout, -1)
 
 BN_MOMENTUM = 0.9  # MXNet BatchNorm default, used by all reference configs
 BN_EPSILON = 1e-3
@@ -126,6 +135,101 @@ def conv3x3_planar(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+# --------------------------------------------------------------------- bhcw
+# layout="bhcw" keeps channels in sublanes and the range-image width in
+# lanes — the layout of the Pallas conv kernels (ops/conv_pallas.py). The
+# XLA forms below are the stride-2 / CPU fallbacks with identical numerics.
+
+def conv3x3_bhcw_xla(
+    xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
+) -> jnp.ndarray:
+    """3x3 SAME conv on (B, H, C, W) as 9 shifted channel-matmuls."""
+    B, H, Ci, W = xb.shape
+    if stride_w == 1:
+        xq = jnp.pad(xb, ((0, 0), (1, 1), (0, 0), (1, 1)))
+        Wo = W
+    else:
+        xq = jnp.pad(xb, ((0, 0), (1, 1), (0, 0), (0, 1)))
+        Wo = -(-W // stride_w)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            if stride_w == 1:
+                sh = jax.lax.dynamic_slice(xq, (0, dy, 0, dx), (B, H, Ci, W))
+            else:
+                sh = jax.lax.slice(
+                    xq, (0, dy, 0, dx),
+                    (B, dy + H, Ci, dx + 1 + (Wo - 1) * stride_w),
+                    (1, 1, 1, stride_w),
+                )
+            o = jnp.einsum(
+                "bhiw,io->bhow", sh, kernel[dy, dx],
+                preferred_element_type=xb.dtype,
+            )
+            out = o if out is None else out + o
+    return out
+
+
+def conv3x3_bhcw_best(
+    xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel for stride-1 on TPU, XLA form otherwise."""
+    if (
+        use_pallas
+        and stride_w == 1
+        and jax.default_backend() == "tpu"
+        and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
+    ):
+        return conv3x3_pallas(xb, kernel)
+    return conv3x3_bhcw_xla(xb, kernel, stride_w)
+
+
+def conv1x1_bhcw(xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
+                 ) -> jnp.ndarray:
+    """1x1 conv on (B, H, C, W); kernel (C_in, C_out)."""
+    if stride_w != 1:
+        xb = xb[:, :, :, ::stride_w]
+    return jnp.einsum("bhiw,io->bhow", xb, kernel,
+                      preferred_element_type=xb.dtype)
+
+
+def deconv_bhcw(
+    xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int
+) -> jnp.ndarray:
+    """Phase-decomposed SAME transposed conv on (B, H, C, W) — the
+    (B, C, H, W) form of deconv_planar with identical numerics."""
+    B, H, Ci, W = xb.shape
+    kh, kw, _, Co = kernel.shape
+    s = stride_w
+    assert kw % s == 0, (kw, s)
+    pad = (kw - s) // 2
+    J = kw // s
+    pad_h = (kh - 1) // 2
+    xq = jnp.pad(xb, ((0, 0), (pad_h, pad_h), (0, 0), (J + 2, J + 2)))
+    phases = []
+    for p in range(s):
+        k0 = (p + pad) % s
+        D = (p + pad - k0) // s
+        acc = None
+        for dy in range(kh):
+            hoff = pad_h + pad_h - dy
+            for j in range(J):
+                k_idx = k0 + j * s
+                kk = kernel[kh - 1 - dy, kw - 1 - k_idx]
+                moff = J + 2 + D - j
+                sh = jax.lax.dynamic_slice(
+                    xq, (0, hoff, 0, moff), (B, H, Ci, W)
+                )
+                o = jnp.einsum(
+                    "bhiw,io->bhow", sh, kk, preferred_element_type=xb.dtype
+                )
+                acc = o if acc is None else acc + o
+        phases.append(acc)
+    out = jnp.stack(phases, axis=-1)  # (B, H, Co, W, s)
+    return out.reshape(B, H, Co, W * s)
+
+
 def deconv_planar(
     xp: jnp.ndarray, kernel: jnp.ndarray, stride_w: int
 ) -> jnp.ndarray:
@@ -185,28 +289,40 @@ class ConvNormRelu(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     kernel_init: Any = nn.initializers.lecun_normal()
-    layout: str = "nhwc"  # or "planar"
+    layout: str = "nhwc"  # or "planar" / "bhcw"
+    use_pallas: bool = True  # bhcw only: Pallas conv kernel on TPU
 
     @nn.compact
     def __call__(self, x):
-        if self.layout == "planar":
+        if self.layout in PLANAR_LAYOUTS:
             assert self.strides[0] == 1 and self.strides[1] in (1, 2)
-            Ci = x.shape[1]
+            ch_ax = channel_axis_of(self.layout)
+            Ci = x.shape[ch_ax]
             x = x.astype(self.dtype)
             if self.kernel == (1, 1):
                 k = self.param(
                     "kernel", self.kernel_init, (Ci, self.features), jnp.float32
                 )
-                x = conv1x1_planar(x, k.astype(self.dtype), self.strides[1])
+                c1 = conv1x1_planar if self.layout == "planar" else conv1x1_bhcw
+                x = c1(x, k.astype(self.dtype), self.strides[1])
             else:
                 assert self.kernel == (3, 3)
                 k = self.param(
                     "kernel", self.kernel_init, (3, 3, Ci, self.features),
                     jnp.float32,
                 )
-                x = conv3x3_planar_core(x, k.astype(self.dtype), self.strides[1])
+                if self.layout == "planar":
+                    x = conv3x3_planar_core(
+                        x, k.astype(self.dtype), self.strides[1]
+                    )
+                else:
+                    x = conv3x3_bhcw_best(
+                        x, k.astype(self.dtype), self.strides[1],
+                        self.use_pallas,
+                    )
             x = BatchNorm(
-                self.use_running_average, self.dtype, channel_axis=1, name="bn"
+                self.use_running_average, self.dtype, channel_axis=ch_ax,
+                name="bn",
             )(x)
             return nn.relu(x)
 
@@ -242,19 +358,20 @@ class DeconvNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.layout == "planar":
+        if self.layout in PLANAR_LAYOUTS:
             assert self.strides[0] == 1
+            ch_ax = channel_axis_of(self.layout)
             k = self.param(
                 "kernel",
                 nn.initializers.lecun_normal(),
-                self.kernel + (x.shape[1], self.features),
+                self.kernel + (x.shape[ch_ax], self.features),
                 jnp.float32,
             )
-            x = deconv_planar(
-                x.astype(self.dtype), k.astype(self.dtype), self.strides[1]
-            )
+            dc = deconv_planar if self.layout == "planar" else deconv_bhcw
+            x = dc(x.astype(self.dtype), k.astype(self.dtype), self.strides[1])
             x = BatchNorm(
-                self.use_running_average, self.dtype, channel_axis=1, name="bn"
+                self.use_running_average, self.dtype, channel_axis=ch_ax,
+                name="bn",
             )(x)
             return nn.relu(x)
         x = nn.ConvTranspose(

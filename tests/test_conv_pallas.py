@@ -1,0 +1,119 @@
+"""Pallas (B,H,C,W) conv3x3 kernels (ops/conv_pallas.py) and the "bhcw"
+model layout: kernel fwd/dgrad/wgrad vs the XLA conv oracle, and full-model
+bhcw <-> nhwc equivalence (the bhcw XLA fallback path used off-TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from rangedet_tpu.data.synthetic import make_batch
+from rangedet_tpu.models import RangeDet
+from rangedet_tpu.models.convert import convert_params
+from rangedet_tpu.models.layers import (
+    conv1x1_bhcw,
+    conv3x3_bhcw_xla,
+    deconv_bhcw,
+    deconv_planar,
+)
+from rangedet_tpu.ops.conv_pallas import conv3x3_bhcw
+from tiny import tiny_config
+
+
+def _oracle(x, w, stride_w=1):
+    xh = jnp.transpose(x, (0, 1, 3, 2))
+    y = lax.conv_general_dilated(
+        xh, w, (1, stride_w), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.transpose(y, (0, 1, 3, 2))
+
+
+def test_conv3x3_pallas_fwd_bwd_exact():
+    rng = np.random.RandomState(0)
+    B, H, Ci, W, Co = 2, 16, 16, 384, 24
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    gy = jnp.asarray(rng.randn(B, H, Co, W).astype(np.float32))
+
+    y0 = _oracle(x, w)
+    y1 = conv3x3_bhcw(x, w, None, True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-4)
+
+    f0 = lambda x, w: jnp.sum(_oracle(x, w) * gy)
+    f1 = lambda x, w: jnp.sum(conv3x3_bhcw(x, w, None, True) * gy)
+    dx0, dw0 = jax.grad(f0, (0, 1))(x, w)
+    dx1, dw1 = jax.grad(f1, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw1), np.asarray(dw0), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_conv3x3_pallas_odd_width_and_rows():
+    # W not a multiple of 128 (edge-column masking), explicit rows_per_step
+    rng = np.random.RandomState(1)
+    B, H, Ci, W, Co = 1, 8, 8, 165, 16
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    for r in (1, 2, 4):
+        y = conv3x3_bhcw(x, w, r, True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(_oracle(x, w)), atol=1e-4
+        )
+
+
+def test_bhcw_xla_forms_match_oracle():
+    rng = np.random.RandomState(2)
+    B, H, Ci, W, Co = 2, 8, 8, 64, 12
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w3 = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    for s in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_bhcw_xla(x, w3, s)),
+            np.asarray(_oracle(x, w3, s)), atol=1e-4,
+        )
+    w1 = jnp.asarray(0.1 * rng.randn(Ci, Co).astype(np.float32))
+    y = conv1x1_bhcw(x, w1, 2)
+    ref = jnp.einsum("bhiw,io->bhow", x[..., ::2], w1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+def test_deconv_bhcw_matches_planar():
+    rng = np.random.RandomState(3)
+    B, H, Ci, W, Co = 1, 8, 6, 32, 10
+    x = jnp.asarray(rng.randn(B, Ci, H, W).astype(np.float32))
+    for (kh, kw), s in (((3, 8), 4), ((3, 4), 2)):
+        k = jnp.asarray(0.1 * rng.randn(kh, kw, Ci, Co).astype(np.float32))
+        ref = deconv_planar(x, k, s)  # (B, Co, H, W*s)
+        got = deconv_bhcw(jnp.transpose(x, (0, 2, 1, 3)), k, s)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 2, 1, 3))), np.asarray(ref),
+            atol=1e-4,
+        )
+
+
+def test_bhcw_model_matches_nhwc():
+    cfg_b = tiny_config().replace(layout="bhcw")
+    cfg_n = tiny_config().replace(layout="nhwc")
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_batch(cfg_b, 1, seed=0, num_boxes=4).items()
+    }
+    mb = RangeDet(**cfg_b.model_kwargs())
+    mn = RangeDet(**cfg_n.model_kwargs())
+    vb = jax.jit(mb.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), batch["input_data"], batch["coord"], False
+    )
+    converted = convert_params(vb["params"], "nhwc")
+    out_b = mb.apply(
+        {"params": vb["params"], "batch_stats": vb["batch_stats"]},
+        batch["input_data"], batch["coord"], False,
+    )
+    out_n = mn.apply(
+        {"params": converted, "batch_stats": vb["batch_stats"]},
+        batch["input_data"], batch["coord"], False,
+    )
+    for a, b in zip(out_b[0] + out_b[1], out_n[0] + out_n[1]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-3
+        )
