@@ -77,12 +77,17 @@ class RangeDetConfig:
     assign_max_dist_sq: float = 20.0
 
     # ------------------------------------------------------------- test
+    # reference candidate cap before min_score filtering (config:138 via
+    # get_sorted_foreground.py:11-40); consumed by run_inference as the
+    # semantic upper bound on the candidate set
     pre_nms_top_n: Dict[str, int] = dataclasses.field(
         default_factory=lambda: {"veh": 50000, "ped": 5000, "cyc": 5000}
     )
-    # candidates actually carried into the on-device WNMS; the reference's
-    # 50k pre-NMS exists to feed a GPU NMS — after min_score filtering the
-    # survivors are far fewer, and post-NMS keeps <= 200
+    # candidates actually carried into the on-device WNMS: the reference
+    # filters score > min_score BEFORE its host WNMS (tools/test.py:200-211),
+    # so outputs match exactly while the above-threshold pixel count fits in
+    # min(device_topk, pre_nms_top_n); run_inference returns a per-frame
+    # "truncated" flag for the frames where the cap binds
     device_topk: Dict[str, int] = dataclasses.field(
         default_factory=lambda: {"veh": 4096, "ped": 4096, "cyc": 4096}
     )
@@ -124,6 +129,10 @@ class RangeDetConfig:
     sampling_rate: int = 4
     filter_class: Sequence[str] = ("TYPE_VEHICLE",)
     loader_workers: int = 8
+    # training-time geometric augmentations by name ("flip", "rotation") —
+    # data/augment.py; the reference ships its equivalents disabled
+    # (config:223-239 commented out), so parity recipes keep this empty
+    augment: Sequence[str] = ()
 
     # ------------------------------------------------------------- parallel
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 4, "model": 2}

@@ -16,4 +16,7 @@ def get_config(is_train: bool) -> RangeDetConfig:
         sampling_rate=1,
         end_epoch=36,
         lr_steps=(24, 30),
+        # long-schedule full-data recipe benefits from the geometric
+        # augmentations (the reference ships them defined but disabled)
+        augment=("flip", "rotation"),
     )

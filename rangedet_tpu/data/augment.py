@@ -6,6 +6,9 @@ commented out of every shipped transform list). We provide the two geometric
 augmentations as host-side numpy ops on the raw frame dict (before
 normalization/stacking); both remap the range image columns so the projective
 structure stays consistent.
+
+``cfg.augment`` (e.g. ``("flip", "rotation")``) selects them by name; the
+loader hook is data/waymo.py:record_to_inputs → apply_augmentations.
 """
 from __future__ import annotations
 
@@ -13,7 +16,22 @@ from typing import Dict
 
 import numpy as np
 
+# image-space channels that remap with the columns (flip / roll). is_in_nlz
+# rides along so NLZ exclusion stays pixel-aligned after augmentation.
+_IMAGE_KEYS = ("range_value", "intensity", "elongation", "mask",
+               "inclination", "is_in_nlz")
 
+AUGMENTATIONS = {}
+
+
+def _register(name):
+    def deco(fn):
+        AUGMENTATIONS[name] = fn
+        return fn
+    return deco
+
+
+@_register("flip")
 def world_flip(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
                prob: float = 0.5) -> Dict[str, np.ndarray]:
     """Mirror the world across the x-z plane (y -> -y).
@@ -24,7 +42,7 @@ def world_flip(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
     if rng.uniform() >= prob:
         return frame
     out = dict(frame)
-    for k in ("range_value", "intensity", "elongation", "mask", "inclination"):
+    for k in _IMAGE_KEYS:
         if k in out:
             out[k] = out[k][:, ::-1].copy()
     pc = frame["pc"][:, ::-1].copy()
@@ -38,6 +56,7 @@ def world_flip(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
     return out
 
 
+@_register("rotation")
 def world_rotation(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
                    interval=(-np.pi / 4, np.pi / 4)) -> Dict[str, np.ndarray]:
     """Rotate the world about z by a random angle.
@@ -52,7 +71,7 @@ def world_rotation(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
 
     out = dict(frame)
     # columns scan azimuth from +pi to -pi: +theta rotation shifts right
-    for k in ("range_value", "intensity", "elongation", "mask", "inclination"):
+    for k in _IMAGE_KEYS:
         if k in out:
             out[k] = np.roll(out[k], shift, axis=1)
     c, s = np.cos(theta), np.sin(theta)
@@ -65,3 +84,15 @@ def world_rotation(frame: Dict[str, np.ndarray], rng: np.random.RandomState,
     gt[:, 6] = gt[:, 6] + theta
     out["gt_csa"] = gt
     return out
+
+
+def apply_augmentations(frame: Dict[str, np.ndarray],
+                        rng: "np.random.RandomState",
+                        names) -> Dict[str, np.ndarray]:
+    """Apply cfg.augment's named augmentations in order ("flip",
+    "rotation"). The loader hook: record_to_inputs calls this on the raw
+    frame dict before normalization/stacking (the stage where the
+    reference's transform list would run them, config:223-239)."""
+    for n in names:
+        frame = AUGMENTATIONS[n](frame, rng)
+    return frame

@@ -110,6 +110,8 @@ def frame_to_inputs(frame: Dict[str, np.ndarray], pad_w: int) -> Dict[str, np.nd
         pc=pad(frame["pc"]),
         mask=pad(frame["mask"][..., None]),
         unnorm_range=pad((frame["range_value"] * frame["mask"])[..., None]),
+        is_in_nlz=pad(frame.get(
+            "is_in_nlz", np.full((H, W), -1.0, np.float32))[..., None]),
     )
 
 
@@ -124,7 +126,7 @@ def make_batch(
     M = cfg.max_gt_boxes
 
     out = {k: [] for k in
-           ("input_data", "coord", "pc", "mask", "unnorm_range",
+           ("input_data", "coord", "pc", "mask", "unnorm_range", "is_in_nlz",
             "gt_csa", "gt_class", "gt_valid")}
     for _ in range(B):
         frame = make_frame(rng, H, W, num_boxes, tuple(cfg.label_set))

@@ -103,8 +103,16 @@ def fill_missing(range_image: np.ndarray, pc: np.ndarray):
 
 
 def record_to_inputs(rec: dict, pad_field, max_gt: int,
-                     npz_cache: Optional[dict] = None) -> Dict[str, np.ndarray]:
-    """One roidb record -> padded, normalized device-batch entry."""
+                     npz_cache: Optional[dict] = None,
+                     augment: Sequence[str] = (),
+                     aug_rng: Optional[np.random.RandomState] = None,
+                     ) -> Dict[str, np.ndarray]:
+    """One roidb record -> padded, normalized device-batch entry.
+
+    ``augment`` names cfg.augment's geometric augmentations (data/augment.py),
+    applied to the raw frame before normalization — the slot where the
+    reference's transform list would run them (core/input.py transform order).
+    """
     url = rec["pc_url"]
     if npz_cache is not None and url in npz_cache:
         npkl = npz_cache[url]
@@ -122,16 +130,47 @@ def record_to_inputs(rec: dict, pad_field, max_gt: int,
     range_image, pc, mask = fill_missing(range_image, pc)
     H, W = mask.shape
 
-    azimuth = np.arctan2(pc[..., 1], pc[..., 0]).astype(np.float32)
-    raw = {
+    # no-label-zone flag: channel 3 of the builder's range image (1.0 inside
+    # an NLZ, -1.0 otherwise / for filled holes) — reference excludes NLZ
+    # points from assignment (core/input.py:276-320 via assigner.h:29-44)
+    if range_image.shape[-1] >= 4:
+        is_in_nlz = range_image[..., 3].astype(np.float32)
+    else:
+        is_in_nlz = np.full((H, W), -1.0, np.float32)
+
+    gt_class = np.asarray(rec.get("gt_class", np.zeros(0)), np.float32).reshape(-1)
+    gt_csa = np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7))), np.float32).reshape(-1, 7)
+
+    frame = {
         "range_value": range_image[..., 0],
         "intensity": range_image[..., 1],
         "elongation": range_image[..., 2],
+        "pc": pc,
+        "mask": mask,
+        "is_in_nlz": is_in_nlz,
+        "inclination": np.broadcast_to(inclination[:, None], (H, W)),
+        "azimuth": np.arctan2(pc[..., 1], pc[..., 0]).astype(np.float32),
+        "gt_csa": gt_csa,
+        "gt_class": gt_class,
+    }
+    if augment:
+        from .augment import apply_augmentations
+
+        frame = apply_augmentations(
+            frame, aug_rng if aug_rng is not None else np.random, augment
+        )
+        pc, mask, is_in_nlz = frame["pc"], frame["mask"], frame["is_in_nlz"]
+        gt_csa, gt_class = frame["gt_csa"], frame["gt_class"]
+
+    raw = {
+        "range_value": frame["range_value"],
+        "intensity": frame["intensity"],
+        "elongation": frame["elongation"],
         "x": pc[..., 0],
         "y": pc[..., 1],
         "z": pc[..., 2],
-        "inclination": np.broadcast_to(inclination[:, None], (H, W)),
-        "azimuth": azimuth,
+        "inclination": frame["inclination"],
+        "azimuth": frame["azimuth"],
     }
     unnorm_range = np.clip(raw["range_value"], 0, 80).astype(np.float32)
     chans = [clip_and_norm(n, raw[n]) for n in CHANNELS]
@@ -145,8 +184,6 @@ def record_to_inputs(rec: dict, pad_field, max_gt: int,
         out[:H, :W] = a
         return out
 
-    gt_class = np.asarray(rec.get("gt_class", np.zeros(0)), np.float32).reshape(-1)
-    gt_csa = np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7))), np.float32).reshape(-1, 7)
     n = min(len(gt_class), max_gt)
     out_csa = np.zeros((max_gt, 7), np.float32)
     out_cls = np.zeros((max_gt,), np.float32)
@@ -161,6 +198,7 @@ def record_to_inputs(rec: dict, pad_field, max_gt: int,
         pc=pad(pc),
         mask=pad(mask[..., None]),
         unnorm_range=pad((unnorm_range * mask)[..., None]),
+        is_in_nlz=pad(is_in_nlz[..., None]),
         gt_csa=out_csa,
         gt_class=out_cls,
         gt_valid=out_valid,

@@ -1,10 +1,24 @@
-"""Standalone BEV/3D average-precision evaluation.
+"""Standalone BEV/3D average-precision evaluation with WOD-style APH and
+LEVEL_1 / LEVEL_2 difficulty splits.
 
 The reference relies entirely on the offline Waymo evaluator (`metrics_pb2`
-bins + the WOD tooling). That dependency is preserved via eval/waymo_bin.py,
-but the framework also ships its own evaluator so detection quality is
-measurable anywhere (KITTI, synthetic, CI): greedy score-ordered matching at
-an IoU threshold + 101-point interpolated AP (COCO/WOD style).
+bins + the WOD tooling, tools/create_prediction_bin_3d.py:26-75). That
+dependency is preserved via eval/waymo_bin.py, but the framework also ships
+its own evaluator so the published targets (e.g. Veh L1 3D AP 70.1,
+reference README.md:73-76) are measurable anywhere (KITTI, synthetic, CI)
+without the gated proto path:
+
+  * AP: greedy score-ordered matching at an IoU threshold + 101-point
+    interpolated AP (the WOD evaluator uses Hungarian matching; greedy is
+    the standard COCO/KITTI approximation and matches it on well-separated
+    detections);
+  * APH: every true positive is weighted by heading accuracy
+    1 − |Δyaw_wrapped| / π, exactly the WOD definition;
+  * L1/L2: a GT box is LEVEL_2 when the labeler marked it so or it contains
+    ≤ 5 lidar points; boxes with 0 points are excluded entirely. LEVEL_1
+    metrics score L1 GTs only — detections overlapping an L2 ("ignore") GT
+    are dropped rather than counted as false positives; LEVEL_2 metrics
+    score all non-empty GTs.
 """
 from __future__ import annotations
 
@@ -56,6 +70,151 @@ def match_frame(
     out = np.zeros_like(tp)
     out[order] = tp
     return out, len(gt_csa)
+
+
+def heading_accuracy(det_yaw: np.ndarray, gt_yaw: np.ndarray) -> np.ndarray:
+    """WOD heading-accuracy weight: 1 − min(|Δ| mod 2π, 2π − |Δ| mod 2π)/π."""
+    d = np.abs(np.asarray(det_yaw) - np.asarray(gt_yaw)) % (2 * np.pi)
+    d = np.minimum(d, 2 * np.pi - d)
+    return 1.0 - d / np.pi
+
+
+def gt_difficulty(
+    num_points: np.ndarray, manual_difficulty: np.ndarray | None = None
+) -> np.ndarray:
+    """Per-GT level: 0 = excluded (empty box), 1 = LEVEL_1, 2 = LEVEL_2.
+
+    WOD rule: labeler-marked LEVEL_2 stays LEVEL_2; otherwise ≤ 5 lidar
+    points → LEVEL_2; 0 points → not evaluated at all.
+    """
+    num_points = np.asarray(num_points).reshape(-1)
+    level = np.where(num_points <= 5, 2, 1)
+    if manual_difficulty is not None:
+        level = np.maximum(level, (np.asarray(manual_difficulty) == 2) * 2)
+    return np.where(num_points == 0, 0, level).astype(np.int32)
+
+
+def _match_frame_full(
+    det_csa: np.ndarray,
+    det_scores: np.ndarray,
+    gt_csa: np.ndarray,
+    gt_keep: np.ndarray,
+    gt_ignore: np.ndarray,
+    iou_thresh: float,
+    mode: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Greedy matching against the kept GTs, with an ignore set.
+
+    Returns (tp, hweight, drop, num_gt): per-det TP flag, per-det heading
+    weight (1 for FPs — only TPs are weighted), per-det drop flag (matched an
+    ignored GT: excluded from the PR curve), and the kept-GT count.
+    """
+    det_csa = det_csa.reshape(-1, 7)
+    gt_csa = gt_csa.reshape(-1, 7)
+    n_det = len(det_csa)
+    order = np.argsort(-det_scores)
+    iou = _iou_matrix_np(det_csa[order], gt_csa, mode)
+    matched = np.zeros(len(gt_csa), bool)
+    tp = np.zeros(n_det, bool)
+    hw = np.ones(n_det, np.float64)
+    drop = np.zeros(n_det, bool)
+    for i in range(n_det):
+        if len(gt_csa) == 0:
+            break
+        row = np.where(matched | ~gt_keep, -1.0, iou[i])
+        j = int(np.argmax(row)) if len(row) else 0
+        if len(row) and row[j] >= iou_thresh:
+            matched[j] = True
+            tp[i] = True
+            hw[i] = heading_accuracy(det_csa[order[i], 6], gt_csa[j, 6])
+        else:
+            # unmatched: drop instead of FP when it overlaps an ignored GT
+            irow = np.where(gt_ignore, iou[i], -1.0)
+            if len(irow) and irow.max() >= iou_thresh:
+                drop[i] = True
+    out_tp = np.zeros_like(tp)
+    out_hw = np.ones_like(hw)
+    out_drop = np.zeros_like(drop)
+    out_tp[order], out_hw[order], out_drop[order] = tp, hw, drop
+    return out_tp, out_hw, out_drop, int(gt_keep.sum())
+
+
+def _pr_summary(scores, tps, hws, total_gt) -> Dict[str, float]:
+    """101-point interpolated AP and APH from pooled detections."""
+    if total_gt == 0 or len(scores) == 0:
+        return {"ap": 0.0, "aph": 0.0, "recall": 0.0, "precision": 0.0}
+    order = np.argsort(-scores)
+    tps, hws = tps[order], hws[order]
+    cum_tp = np.cumsum(tps)
+    cum_fp = np.cumsum(~tps)
+    cum_h = np.cumsum(np.where(tps, hws, 0.0))
+    recall = cum_tp / total_gt
+    denom = np.maximum(cum_tp + cum_fp, 1)
+    precision = cum_tp / denom
+    precision_h = cum_h / denom  # heading-weighted precision (WOD APH)
+
+    ap = aph = 0.0
+    for r in np.linspace(0, 1, 101):
+        sel = recall >= r
+        ap += (precision[sel].max() if sel.any() else 0.0) / 101.0
+        aph += (precision_h[sel].max() if sel.any() else 0.0) / 101.0
+    return {
+        "ap": float(ap),
+        "aph": float(aph),
+        "recall": float(recall[-1]) if len(recall) else 0.0,
+        "precision": float(precision[-1]) if len(precision) else 0.0,
+    }
+
+
+def waymo_metrics(
+    frames: Sequence[Dict[str, np.ndarray]],
+    iou_thresh: float = 0.7,
+    mode: str = "3d",
+) -> Dict[str, Dict[str, float]]:
+    """WOD-style L1/L2 3D-AP and APH over a frame list.
+
+    Each frame dict carries det_csa (N,7), det_scores (N,), gt_csa (M,7) and
+    optionally gt_num_points (M,) and gt_difficulty (M,) (labeler levels).
+    Without gt_num_points every GT is treated as LEVEL_1 with points, making
+    L1 == L2 == plain AP/APH.
+    """
+    pools = {
+        "L1": {"scores": [], "tp": [], "hw": [], "gt": 0},
+        "L2": {"scores": [], "tp": [], "hw": [], "gt": 0},
+    }
+    for fr in frames:
+        det_csa = np.asarray(fr["det_csa"], np.float32).reshape(-1, 7)
+        det_scores = np.asarray(fr["det_scores"], np.float32).reshape(-1)
+        gt_csa = np.asarray(fr["gt_csa"], np.float32).reshape(-1, 7)
+        if "gt_num_points" in fr:
+            level = gt_difficulty(
+                fr["gt_num_points"], fr.get("gt_difficulty")
+            )
+        else:
+            level = np.ones(len(gt_csa), np.int32)
+
+        for name, keep, ignore in (
+            ("L1", level == 1, level != 1),  # L2 and empty GTs ignored
+            ("L2", level >= 1, level == 0),  # only empty GTs ignored
+        ):
+            tp, hw, drop, n_gt = _match_frame_full(
+                det_csa, det_scores, gt_csa, keep, ignore, iou_thresh, mode
+            )
+            pool = pools[name]
+            pool["scores"].append(det_scores[~drop])
+            pool["tp"].append(tp[~drop])
+            pool["hw"].append(hw[~drop])
+            pool["gt"] += n_gt
+
+    out = {}
+    for name, pool in pools.items():
+        scores = (
+            np.concatenate(pool["scores"]) if pool["scores"] else np.zeros(0)
+        )
+        tps = np.concatenate(pool["tp"]) if pool["tp"] else np.zeros(0, bool)
+        hws = np.concatenate(pool["hw"]) if pool["hw"] else np.zeros(0)
+        out[name] = _pr_summary(scores, tps, hws, pool["gt"])
+    return out
 
 
 def average_precision(

@@ -18,15 +18,21 @@ def evaluate(
     iou_thresh: float = 0.7,
     mode: str = "bev",
     max_frames: int = 0,
+    metric: str = "ap",
 ) -> Dict[str, Dict[str, float]]:
     """frames: iterable of (batch_dict, gt_by_class) where batch_dict is a
-    single-frame (B=1) input batch and gt_by_class maps class name ->
-    (M, 7) csa boxes. Returns {class: {ap, recall, precision}}."""
+    single-frame (B=1) input batch and gt_by_class maps class name -> either
+    (M, 7) csa boxes or a dict {gt_csa, gt_num_points?, gt_difficulty?}.
+
+    metric="ap" returns {class: {ap, recall, precision}};
+    metric="waymo" returns {class: {L1: {ap, aph, ...}, L2: {...}}} — the
+    WOD-style difficulty split + heading-weighted APH (eval/ap.py).
+    """
     import jax
     import jax.numpy as jnp
 
     from ..train.train_step import build_eval_inputs, make_eval_step
-    from .ap import average_precision
+    from .ap import average_precision, waymo_metrics
 
     eval_step = jax.jit(make_eval_step(model, cfg))
     prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
@@ -40,17 +46,25 @@ def evaluate(
             boxes = np.asarray(out[name]["boxes"][0])
             valid = np.asarray(out[name]["valid"][0])
             kept = boxes[valid]
-            per_class[name].append(
-                dict(
-                    det_csa=kept[:, :7],
-                    det_scores=kept[:, 7],
-                    gt_csa=np.asarray(gt_by_class.get(name, np.zeros((0, 7)))),
-                )
-            )
+            gt = gt_by_class.get(name, np.zeros((0, 7)))
+            fr = dict(det_csa=kept[:, :7], det_scores=kept[:, 7])
+            if isinstance(gt, dict):
+                fr["gt_csa"] = np.asarray(gt["gt_csa"])
+                for key in ("gt_num_points", "gt_difficulty"):
+                    if key in gt and gt[key] is not None:
+                        fr[key] = np.asarray(gt[key])
+            else:
+                fr["gt_csa"] = np.asarray(gt)
+            per_class[name].append(fr)
         n += 1
         if max_frames and n >= max_frames:
             break
 
+    if metric == "waymo":
+        return {
+            name: waymo_metrics(fr, iou_thresh=iou_thresh, mode=mode)
+            for name, fr in per_class.items()
+        }
     return {
         name: average_precision(fr, iou_thresh=iou_thresh, mode=mode)
         for name, fr in per_class.items()

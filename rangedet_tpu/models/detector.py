@@ -94,7 +94,9 @@ def build_train_targets(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
 
     batch (channels-last, padded to cfg.pad_field):
       input_data (B,H,W,8), coord (B,H,W,3), pc (B,H,W,3), mask (B,H,W,1),
-      unnorm_range (B,H,W,1), gt_csa (B,M,7), gt_class (B,M), gt_valid (B,M).
+      unnorm_range (B,H,W,1), gt_csa (B,M,7), gt_class (B,M), gt_valid (B,M);
+      optional is_in_nlz (B,H,W,1) no-label-zone flag (>0 excludes the pixel
+      from assignment, matching assigner.h:29-44 via core/input.py:276-320).
 
     Returns dict with, per stride s: reg_target_s, reg_weight_s,
     reg_norm_weight_s, mask_s (valid∧interval), pc_s; plus gt BEV corners per
@@ -102,11 +104,12 @@ def build_train_targets(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
     """
     strides = tuple(cfg.fpn_strides)
 
-    def per_frame(pc, mask, unnorm_range, gt_csa, gt_class, gt_valid):
+    def per_frame(pc, mask, unnorm_range, is_in_nlz, gt_csa, gt_class, gt_valid):
         H, W = pc.shape[:2]
         corners8 = ops_boxes.csa_to_corners3d(gt_csa)
         assignment = ops_assigner.assign_points_to_boxes(
-            pc.reshape(-1, 3), corners8, mask.reshape(-1), box_valid=gt_valid
+            pc.reshape(-1, 3), corners8, mask.reshape(-1), box_valid=gt_valid,
+            is_in_nlz=is_in_nlz.reshape(-1),
         )
         dense = ops_targets.generate_dense_targets(
             pc, gt_csa, gt_class, assignment,
@@ -131,8 +134,11 @@ def build_train_targets(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
             out[f"pc_s{s}"] = ops_targets.stride_slice(pc, s, w_axis=1)
         return out
 
+    nlz = batch.get("is_in_nlz")
+    if nlz is None:  # synthetic/legacy batches: nothing is in an NLZ
+        nlz = jnp.full_like(batch["mask"], -1.0)
     targets = jax.vmap(per_frame)(
-        batch["pc"], batch["mask"], batch["unnorm_range"],
+        batch["pc"], batch["mask"], batch["unnorm_range"], nlz,
         batch["gt_csa"], batch["gt_class"], batch["gt_valid"],
     )
 
@@ -249,7 +255,20 @@ def run_inference(
       tools/test.py:176-234) -> box8_eval rows [cx,cy,cz,l,w,h,yaw,score].
 
     batch must contain per-stride pc_s{s} and mask_s{s} (valid ∧ interval).
-    Returns {class_name: {"boxes": (B, post_nms, 8), "valid": (B, post_nms)}}.
+    Returns {class_name: {"boxes": (B, post_nms, 8), "valid": (B, post_nms),
+    "truncated": (B,)}}.
+
+    Candidate-set semantics vs the reference: the reference takes the top
+    ``pre_nms_top_n`` (veh: 50,000) scores, then drops everything ≤ min_score
+    (veh: 0.5) BEFORE weighted NMS (tools/test.py:200-211) — so the set that
+    can vote is exactly {pixels: score > min_score}, capped at pre_nms_top_n.
+    Here the device works on the top ``min(device_topk, pre_nms_top_n)``
+    scores; outputs are bit-identical to the reference's whenever the number
+    of above-min_score pixels fits in that cap (tests/test_nms.py proves this
+    at 4096 vs 50,000 on dense frames). ``truncated`` flags the rare frames
+    where the cap binds (the weakest kept candidate still clears min_score),
+    so the deviation is observable instead of silent; raise cfg.device_topk
+    to eliminate it.
     """
     B = cls_logits[0].shape[0]
     scores_all, deltas_all = [], []
@@ -271,7 +290,11 @@ def run_inference(
 
     results = {}
     for k, name in enumerate(cfg.class_names):
-        topk = min(cfg.device_topk.get(name, 4096), scores.shape[1])
+        topk = min(
+            cfg.device_topk.get(name, 4096),
+            cfg.pre_nms_top_n.get(name, 50000),  # reference cap, config:138
+            scores.shape[1],
+        )
         post_n = cfg.post_nms_top_n[name]
         min_score = cfg.min_score[name]
 
@@ -293,7 +316,9 @@ def run_inference(
             top_pc = pc_b[idx]
             box10 = ops_decode.decode_boxes(top_deltas, top_pc)
             box11 = ops_boxes.box10_to_box11(box10)
-            valid = top_scores >= min_score
+            valid = top_scores > min_score  # strict, as test.py:200
+            # cap binds <=> the weakest kept candidate still clears min_score
+            truncated = top_scores[-1] > min_score
             out12, out_valid = ops_nms.weighted_nms(
                 box11,
                 top_scores,
@@ -303,10 +328,11 @@ def run_inference(
                 max_keep=post_n,
                 iou_3d=cfg.wnms_is_3d,
             )
-            return ops_boxes.box12_to_box8_eval(out12), out_valid
+            return ops_boxes.box12_to_box8_eval(out12), out_valid, truncated
 
-        boxes8, valid = jax.vmap(per_frame)(
+        boxes8, valid, truncated = jax.vmap(per_frame)(
             scores[..., k], deltas[:, :, k], pc, mask
         )
-        results[name] = {"boxes": boxes8, "valid": valid}
+        results[name] = {"boxes": boxes8, "valid": valid,
+                         "truncated": truncated}
     return results

@@ -48,6 +48,25 @@ def make_train_step(model, cfg, tx=None):
     return train_step
 
 
+def build_train_step_fn(model, cfg, mesh=None):
+    """Select the train step by cfg.sync_bn: True → the GSPMD step above
+    (global/sync BN statistics); False → the shard_map per-replica ("local")
+    BN step, the strict parity path for the reference's localbn
+    (mxnext/complicate.py:55-66). Returns an unjitted step function tagged
+    with ``.bn_semantics`` ("sync" | "local")."""
+    if cfg.sync_bn:
+        fn = make_train_step(model, cfg)
+        fn.bn_semantics = "sync"
+    else:
+        if mesh is None:
+            raise ValueError("cfg.sync_bn=False (local BN) requires a mesh")
+        from ..parallel.shard_map_step import make_local_bn_train_step
+
+        fn = make_local_bn_train_step(model, cfg, mesh)
+        fn.bn_semantics = "local"
+    return fn
+
+
 def make_eval_step(model, cfg):
     """Returns eval_step(state, batch) -> {class: {boxes, valid}} running the
     fused forward + decode + weighted-NMS path; batch must carry per-stride

@@ -47,3 +47,75 @@ def test_3d_mode(rng):
     frames = [dict(det_csa=shifted, det_scores=np.ones(6), gt_csa=gt)]
     res = average_precision(frames, iou_thresh=0.3, mode="3d")
     assert res["ap"] < 0.05
+
+
+def test_heading_accuracy_weights():
+    from rangedet_tpu.eval.ap import heading_accuracy
+
+    np.testing.assert_allclose(heading_accuracy(0.0, 0.0), 1.0)
+    np.testing.assert_allclose(heading_accuracy(np.pi, 0.0), 0.0, atol=1e-7)
+    np.testing.assert_allclose(heading_accuracy(0.0, np.pi / 2), 0.5)
+    # wrapping: 2pi apart == aligned
+    np.testing.assert_allclose(heading_accuracy(2 * np.pi, 0.0), 1.0, atol=1e-7)
+    np.testing.assert_allclose(heading_accuracy(-np.pi / 2, np.pi / 2), 0.0,
+                               atol=1e-7)
+
+
+def test_gt_difficulty_rule():
+    from rangedet_tpu.eval.ap import gt_difficulty
+
+    pts = np.array([0, 1, 5, 6, 100])
+    np.testing.assert_array_equal(gt_difficulty(pts), [0, 2, 2, 1, 1])
+    manual = np.array([0, 0, 0, 2, 0])  # labeler marks box 3 as LEVEL_2
+    np.testing.assert_array_equal(gt_difficulty(pts, manual), [0, 2, 2, 2, 1])
+
+
+def test_waymo_metrics_perfect_is_1(rng):
+    from rangedet_tpu.eval.ap import waymo_metrics
+
+    gt = random_csa(rng, 8)
+    frames = [dict(det_csa=gt, det_scores=np.linspace(1, 0.5, 8), gt_csa=gt,
+                   gt_num_points=np.full(8, 50))]
+    res = waymo_metrics(frames, iou_thresh=0.7, mode="bev")
+    assert res["L1"]["ap"] > 0.99 and res["L1"]["aph"] > 0.99
+    assert res["L2"]["ap"] > 0.99
+
+
+def test_waymo_aph_penalizes_heading(rng):
+    from rangedet_tpu.eval.ap import waymo_metrics
+
+    gt = random_csa(rng, 8)
+    gt[:, 0] = np.arange(8) * 30.0  # well separated: no cross-GT overlap
+    gt[:, 1] = 0.0
+    gt[:, 3] = gt[:, 4]  # square boxes: yaw flip leaves IoU = 1
+    det = gt.copy()
+    det[:, 6] += np.pi / 2  # 90 deg heading error on every det
+    frames = [dict(det_csa=det, det_scores=np.linspace(1, 0.5, 8), gt_csa=gt,
+                   gt_num_points=np.full(8, 50))]
+    res = waymo_metrics(frames, iou_thresh=0.5, mode="bev")
+    assert res["L1"]["ap"] > 0.99        # still spatial TPs
+    assert abs(res["L1"]["aph"] - 0.5) < 0.02  # each TP weighted 0.5
+
+
+def test_waymo_l1_l2_split(rng):
+    from rangedet_tpu.eval.ap import waymo_metrics
+
+    gt = random_csa(rng, 6)
+    pts = np.array([50, 50, 50, 3, 3, 0])  # 3 L1, 2 L2, 1 excluded
+    # detect only the three L1 boxes
+    frames = [dict(det_csa=gt[:3], det_scores=np.ones(3), gt_csa=gt,
+                   gt_num_points=pts)]
+    res = waymo_metrics(frames, iou_thresh=0.7, mode="bev")
+    assert res["L1"]["ap"] > 0.99                 # all L1 GTs found
+    assert abs(res["L2"]["recall"] - 3 / 5) < 1e-6  # 3 of 5 evaluated GTs
+
+    # a det on an L2 box must not count as FP for L1 (ignore, not penalize)
+    frames2 = [dict(det_csa=gt[:4], det_scores=np.ones(4), gt_csa=gt,
+                    gt_num_points=pts)]
+    res2 = waymo_metrics(frames2, iou_thresh=0.7, mode="bev")
+    assert res2["L1"]["ap"] > 0.99
+    # empty-box (0 points) det is dropped for L2 as well
+    frames3 = [dict(det_csa=gt, det_scores=np.ones(6), gt_csa=gt,
+                    gt_num_points=pts)]
+    res3 = waymo_metrics(frames3, iou_thresh=0.7, mode="bev")
+    assert res3["L2"]["ap"] > 0.99

@@ -137,3 +137,52 @@ def test_generate_dense_targets_shapes(rng):
     assigned = np.asarray(idx).reshape(H, W) >= 0
     got_w = np.asarray(out["rpn_reg_weight"])[..., 0] > 0
     np.testing.assert_array_equal(got_w, assigned)
+
+
+def test_assigner_nlz_excludes_points(rng):
+    """NLZ-flagged points must never be assigned (assigner.h:29-44 via
+    core/input.py:276-320: is_in_nlz > 0 is skipped before box tests)."""
+    pts, csa, corners8, mask = _scene(rng)
+    base = np.asarray(
+        assigner.assign_points_to_boxes(
+            jnp.asarray(pts), jnp.asarray(corners8), jnp.asarray(mask)
+        )
+    )
+    nlz = np.full(len(pts), -1.0, np.float32)
+    assigned = np.where(base >= 0)[0]
+    assert len(assigned) > 50
+    flagged = assigned[::2]
+    nlz[flagged] = 1.0
+    got = np.asarray(
+        assigner.assign_points_to_boxes(
+            jnp.asarray(pts), jnp.asarray(corners8), jnp.asarray(mask),
+            is_in_nlz=jnp.asarray(nlz),
+        )
+    )
+    assert (got[flagged] == -1).all()
+    keep = nlz <= 0
+    np.testing.assert_array_equal(got[keep], base[keep])
+
+
+def test_build_train_targets_consumes_nlz():
+    """End-to-end: an is_in_nlz plane in the batch zeroes the dense targets
+    of the flagged pixels (wiring of models/detector.py:build_train_targets)."""
+    import jax
+    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.models.detector import build_train_targets
+    from tiny import tiny_config
+
+    cfg = tiny_config()
+    batch = make_batch(cfg, 1, seed=3, num_boxes=6)
+    t_clean = jax.jit(lambda b: build_train_targets(b, cfg))(
+        {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    w_clean = np.asarray(t_clean["reg_weight_s1"])
+    assert (w_clean > 0).sum() > 0, "need foreground pixels in the scene"
+
+    batch_nlz = dict(batch)
+    batch_nlz["is_in_nlz"] = np.ones_like(batch["is_in_nlz"])  # all NLZ
+    t_nlz = jax.jit(lambda b: build_train_targets(b, cfg))(
+        {k: jnp.asarray(v) for k, v in batch_nlz.items()}
+    )
+    assert (np.asarray(t_nlz["reg_weight_s1"]) == 0).all()

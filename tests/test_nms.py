@@ -126,3 +126,64 @@ def test_wnms_3d_mode(rng):
         thresh=0.1, thresh_vote=0.5, max_keep=2, iou_3d=False,
     )
     assert np.asarray(validb).sum() == 1  # BEV mode suppresses
+
+
+def test_pre_nms_candidate_cap_equivalence(rng):
+    """run_inference outputs are identical at a small device_topk and at the
+    reference's full pre_nms_top_n whenever the number of above-min_score
+    candidates fits in the small cap — and the per-frame ``truncated`` flag
+    fires exactly when the cap binds (VERDICT item: get_sorted_foreground.py
+    50k cap + test.py:200 min_score filter before WNMS)."""
+    import jax
+    from rangedet_tpu.models.detector import run_inference
+    from tiny import tiny_config
+
+    def fabricate(cfg, n_hot):
+        """Per-level logits with exactly n_hot above-threshold pixels."""
+        r = np.random.RandomState(0)
+        logits, deltas, batch = [], [], {}
+        hot_left = n_hot
+        for s in cfg.fpn_strides:
+            H, W = cfg.feat_size[0], cfg.feat_size[1] // s
+            lg = r.uniform(-9.0, -5.0, (1, H, W, 1)).astype(np.float32)
+            flat = lg.reshape(-1)
+            take = min(hot_left, flat.size // 2)
+            hot = r.choice(flat.size, take, replace=False)
+            flat[hot] = r.uniform(2.0, 6.0, take)  # sigmoid > 0.88
+            hot_left -= take
+            logits.append(jnp.asarray(flat.reshape(1, H, W, 1)))
+            deltas.append(jnp.asarray(
+                r.uniform(-0.4, 0.4, (1, H, W, 8)).astype(np.float32)))
+            pc = r.uniform(-30, 30, (1, H, W, 3)).astype(np.float32)
+            batch[f"pc_s{s}"] = jnp.asarray(pc)
+            batch[f"mask_s{s}"] = jnp.asarray(
+                np.ones((1, H, W, 1), np.float32))
+        return logits, deltas, batch
+
+    base = tiny_config(is_train=False)
+
+    # Case A: candidates fit in the small cap -> identical outputs
+    cfg_small = base.replace(device_topk={"veh": 256},
+                             pre_nms_top_n={"veh": 50000})
+    cfg_full = base.replace(device_topk={"veh": 10 ** 9},
+                            pre_nms_top_n={"veh": 50000})
+    logits, deltas, batch = fabricate(base, n_hot=150)
+    out_s = jax.jit(lambda l, d, b: run_inference(l, d, b, cfg_small))(
+        logits, deltas, batch)
+    out_f = jax.jit(lambda l, d, b: run_inference(l, d, b, cfg_full))(
+        logits, deltas, batch)
+    assert not bool(out_s["veh"]["truncated"][0])
+    np.testing.assert_array_equal(np.asarray(out_s["veh"]["valid"]),
+                                  np.asarray(out_f["veh"]["valid"]))
+    np.testing.assert_allclose(np.asarray(out_s["veh"]["boxes"]),
+                               np.asarray(out_f["veh"]["boxes"]), atol=1e-5)
+
+    # Case B: more above-threshold candidates than the cap -> flagged
+    logits, deltas, batch = fabricate(base, n_hot=700)
+    out_t = jax.jit(lambda l, d, b: run_inference(l, d, b, cfg_small))(
+        logits, deltas, batch)
+    assert bool(out_t["veh"]["truncated"][0])
+    # and the full-cap run is not truncated
+    out_tf = jax.jit(lambda l, d, b: run_inference(l, d, b, cfg_full))(
+        logits, deltas, batch)
+    assert not bool(out_tf["veh"]["truncated"][0])

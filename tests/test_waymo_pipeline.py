@@ -107,3 +107,53 @@ def test_multiclass_train_decreases(rng):
         losses.append(float(m["total_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.85 * losses[0], losses
+
+
+def test_record_to_inputs_augment_hook(tmp_path, rng):
+    """cfg.augment applied inside record_to_inputs: a forced world flip
+    mirrors the inputs and GT (y, yaw negated) and keeps pixel alignment for
+    the NLZ plane; no augment == byte-identical to the plain path."""
+    root = _fake_dataset(tmp_path, rng, n_frames=1)
+    cfg = tiny_config().replace(data_root=root, sampling_rate=1)
+    roidb = load_roidbs(root, ("training",), 1, ("TYPE_VEHICLE",))
+    rec = roidb[0]
+
+    plain = record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes)
+    same = record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes, augment=())
+    for k in plain:
+        np.testing.assert_array_equal(plain[k], same[k])
+
+    class AlwaysFlip:
+        def uniform(self, *a):  # prob draw -> always below 0.5
+            return 0.0
+
+    aug = record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes,
+                           augment=("flip",), aug_rng=AlwaysFlip())
+    W = 128  # unpadded width of the fabricated frames
+    np.testing.assert_allclose(
+        aug["mask"][:16, :W, 0], plain["mask"][:16, :W, 0][:, ::-1]
+    )
+    np.testing.assert_allclose(
+        aug["is_in_nlz"][:16, :W, 0], plain["is_in_nlz"][:16, :W, 0][:, ::-1]
+    )
+    np.testing.assert_allclose(
+        aug["pc"][:16, :W, 1], -plain["pc"][:16, :W, 1][:, ::-1], atol=1e-6
+    )
+    nz = plain["gt_valid"] > 0
+    np.testing.assert_allclose(aug["gt_csa"][nz, 1], -plain["gt_csa"][nz, 1])
+    np.testing.assert_allclose(aug["gt_csa"][nz, 6], -plain["gt_csa"][nz, 6])
+
+
+def test_sync_bn_selects_step(rng):
+    """cfg.sync_bn dispatches between the GSPMD sync-BN step and the
+    shard_map local-BN parity step (train_step.build_train_step_fn)."""
+    from rangedet_tpu.parallel import make_mesh
+    from rangedet_tpu.train.train_step import build_train_step_fn
+
+    cfg = tiny_config()
+    model = RangeDet(**cfg.model_kwargs())
+    mesh = make_mesh({"data": 2})
+    assert build_train_step_fn(model, cfg, mesh).bn_semantics == "sync"
+    assert build_train_step_fn(
+        model, cfg.replace(sync_bn=False), mesh
+    ).bn_semantics == "local"

@@ -62,7 +62,7 @@ def main():
     from rangedet_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from rangedet_tpu.train.schedule import build_optimizer, build_schedule
     from rangedet_tpu.train.state import create_train_state, param_count
-    from rangedet_tpu.train.train_step import make_train_step
+    from rangedet_tpu.train.train_step import build_train_step_fn
     from rangedet_tpu.utils.logger import ProfilerHook, Speedometer, config_logger
 
     cfg = load_config(args.config, is_train=True)
@@ -111,7 +111,9 @@ def main():
         logger.info(f"loaded {len(roidb)} roidb records")
         loader = BatchLoader(
             roidb,
-            lambda rec: record_to_inputs(rec, cfg.pad_field, cfg.max_gt_boxes),
+            lambda rec: record_to_inputs(
+                rec, cfg.pad_field, cfg.max_gt_boxes, augment=cfg.augment
+            ),
             batch_size=global_batch,
             num_workers=args.num_workers,
             host_id=jax.process_index(),
@@ -142,7 +144,10 @@ def main():
             logger.info(f"resumed from epoch {ep}")
 
     state = replicate_state(state, mesh)
-    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+    # cfg.sync_bn selects GSPMD sync-BN or the shard_map local-BN parity step
+    train_step = jax.jit(
+        build_train_step_fn(model, cfg, mesh), donate_argnums=0
+    )
 
     speedometer = Speedometer(global_batch, cfg.log_frequency, logger)
     profiler = ProfilerHook(
