@@ -10,7 +10,7 @@ def get_config(is_train: bool) -> RangeDetConfig:
     return RangeDetConfig(
         name="rangedet_veh_wo_aug_all_36e",
         is_train=is_train,
-        layout="planar" if is_train else "nhwc",
+        layout="bhcw" if is_train else "nhwc",
         batch_image=2 if is_train else 1,
         label_set=(1,),
         class_names=("veh",),

@@ -63,9 +63,16 @@ def build_frame_record(
     gt_class: np.ndarray,
     points_in_box: Optional[np.ndarray] = None,
     meta: Optional[dict] = None,
+    motion: Optional[np.ndarray] = None,
 ) -> dict:
     """Assemble one roidb entry in the on-disk schema LoadRecord/LoadGTInfo
-    expect (rangedet/core/input.py:24-59)."""
+    expect (rangedet/core/input.py:24-59).
+
+    ``meta_data`` keeps the reference's semantics: per-label motion metadata
+    (M, 4) [speed_x, speed_y, accel_x, accel_y]
+    (create_range_image_roidb.py:180-186,213); the frame-level name/timestamp
+    live in ``meta_info``.
+    """
     gt_csa = np.asarray(gt_csa, np.float32).reshape(-1, 7)
     return {
         "rec_id": frame_id,
@@ -79,41 +86,34 @@ def build_frame_record(
             if points_in_box is not None
             else np.zeros((len(gt_csa),), np.float32)
         ),
-        "meta_data": meta or {},
+        "meta_data": (
+            np.asarray(motion, np.float32).reshape(-1, 4)
+            if motion is not None
+            else np.zeros((len(gt_csa), 4), np.float32)
+        ),
+        "meta_info": meta or {},
     }
 
 
-def build_segment(
-    tfrecord_path: str, out_dir: str, split: str, lidar_name: int = 1
+def build_segment_from_frames(
+    frames, parse_range_images, out_dir: str, split: str, seg_name: str,
+    lidar_name: int = 1,
 ) -> List[dict]:
-    """One Waymo segment -> npz files + roidb list. Requires tensorflow +
-    waymo_open_dataset (gated; mirrors get_data_from_seg,
-    create_range_image_roidb.py:141-219)."""
-    try:
-        import tensorflow as tf
-        from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "tensorflow + waymo_open_dataset are required for the offline "
-            "tfrecord builder; this image does not bake them in. Run this "
-            "step in a Waymo-tooling environment, or convert with your own "
-            "extractor into the npz/roidb schema (see module docstring)."
-        ) from e
+    """The builder body, decoupled from TensorFlow IO: ``frames`` yields
+    Frame protos (or any object with the same attribute surface) and
+    ``parse_range_images(frame)`` returns {lidar_name: [range_image, ...]}
+    where a range_image has ``.data`` (flat floats) and ``.shape.dims``.
 
-    seg_name = os.path.basename(tfrecord_path).replace(".tfrecord", "")
+    Mirrors get_data_from_seg (create_range_image_roidb.py:141-219),
+    including the per-label motion metadata [speed_x, speed_y, accel_x,
+    accel_y] (lines 180-186).
+    """
     npz_dir = os.path.join(out_dir, split, "npz")
     os.makedirs(npz_dir, exist_ok=True)
     roidb = []
 
-    ds = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
-    for i, data in enumerate(ds):
-        frame = dataset_pb2.Frame()
-        frame.ParseFromString(bytearray(data.numpy()))
-
-        (range_images, camera_projections, _, range_image_top_pose) = (
-            frame_utils.parse_range_image_and_camera_projection(frame)
-        )
+    for i, frame in enumerate(frames):
+        range_images = parse_range_images(frame)
         ri = range_images[lidar_name][0]
         ri_np = np.array(ri.data, np.float32).reshape(ri.shape.dims)
         H, W = ri_np.shape[:2]
@@ -135,7 +135,7 @@ def build_segment(
         pc = pc @ extrinsic[:3, :3].T + extrinsic[:3, 3]
         pc[rng_ch <= 0] = 0
 
-        gt_csa, gt_cls, pts_in_box = [], [], []
+        gt_csa, gt_cls, pts_in_box, motion = [], [], [], []
         for label in frame.laser_labels:
             b = label.box
             gt_csa.append(
@@ -143,7 +143,9 @@ def build_segment(
                  b.heading]
             )
             gt_cls.append(label.type)
-            pts_in_box.append(label.num_lidar_points_in_box)
+            pts_in_box.append(getattr(label, "num_lidar_points_in_box", -1))
+            m = label.metadata
+            motion.append([m.speed_x, m.speed_y, m.accel_x, m.accel_y])
 
         frame_id = f"{seg_name}_{i}"
         npz_path = os.path.join(npz_dir, f"{frame_id}.npz")
@@ -164,12 +166,52 @@ def build_segment(
                     "name": frame.context.name,
                     "timestamp_micros": frame.timestamp_micros,
                 },
+                motion=np.array(motion, np.float32).reshape(-1, 4),
             )
         )
 
     with open(os.path.join(out_dir, split, f"{seg_name}.roidb"), "wb") as f:
         pickle.dump(roidb, f)
     return roidb
+
+
+def build_segment(
+    tfrecord_path: str, out_dir: str, split: str, lidar_name: int = 1
+) -> List[dict]:
+    """One Waymo segment -> npz files + roidb list. Requires tensorflow +
+    waymo_open_dataset for the tfrecord/proto IO; the body
+    (build_segment_from_frames) is dependency-free and unit-tested against
+    synthesized Frame fixtures."""
+    try:
+        import tensorflow as tf
+        from waymo_open_dataset import dataset_pb2
+        from waymo_open_dataset.utils import frame_utils
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "tensorflow + waymo_open_dataset are required for the offline "
+            "tfrecord builder; this image does not bake them in. Run this "
+            "step in a Waymo-tooling environment, or convert with your own "
+            "extractor into the npz/roidb schema (see module docstring)."
+        ) from e
+
+    seg_name = os.path.basename(tfrecord_path).replace(".tfrecord", "")
+
+    def frames():
+        ds = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
+        for data in ds:
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(bytearray(data.numpy()))
+            yield frame
+
+    def parse(frame):
+        (range_images, _, _, _) = (
+            frame_utils.parse_range_image_and_camera_projection(frame)
+        )
+        return range_images
+
+    return build_segment_from_frames(
+        frames(), parse, out_dir, split, seg_name, lidar_name
+    )
 
 
 def build_dataset(

@@ -42,38 +42,53 @@ def _pick_rows_per_step(ci: int, h: int) -> int:
     return max(r, 1)
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, carry, *, R, G, Ci, Co, W, out_dtype):
+def _fwd_kernel(x_ref, w_ref, y_ref, slab, *, R, G, Ci, Co, W, out_dtype):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
+        # the epilogue below copies slab[R] into slab[0]; zeroing it here
+        # makes step 1 see row -1 == 0 (SAME zero padding)
+        slab[R] = jnp.zeros_like(slab[R])
 
     @pl.when(g > 0)
     def _():
-        # rows[i] = input row R*(g-1) - 1 + i, i in [0, R+2)
+        # slab rows [0, R+1): input rows R*(g-1) - 1 .. R*(g-1) + R - 1;
+        # complete the window with the first row of the current block
         below = x_ref[0, 0]
-        below = jnp.where(g == G, jnp.zeros_like(below), below)
-        rows = [carry[i] for i in range(R + 1)] + [below]
+        slab[R + 1] = jnp.where(g == G, jnp.zeros_like(below), below)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         not_first, not_last = lane > 0, lane < W - 1
 
-        w = w_ref[...]  # (3, 3, Co, Ci) — pre-transposed by the wrapper
+        w = w_ref[...]  # (3*Co, 3*Ci): dx stacked in M, dy folded into K
         for r in range(R):
+            # The three vertical taps ride in the contraction dim (K = 3*Ci;
+            # the slab is row-contiguous, so the stack is a pure slice).
+            s = slab[r : r + 3].reshape(3 * Ci, W)
             # Phase trick: the MXU sees only unshifted operands; the three
             # horizontal taps accumulate into per-dx phases that are rolled
-            # *after* the matmuls, in f32 (Mosaic cannot rotate bf16 lanes).
-            accs = [None, None, None]
-            for dy in range(3):
-                row = rows[r + dy]
-                for dx in range(3):
-                    o = jax.lax.dot_general(
-                        w[dy, dx], row,
+            # *after* the matmul, in f32 (Mosaic cannot rotate bf16 lanes).
+            if Ci < 128:
+                # thin channels: fold the dx phases into M too — one
+                # (3Co, 3Ci) matmul per row (measured best below 128 ch)
+                acc_all = jax.lax.dot_general(
+                    w, s,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                accs = [acc_all[dx * Co : (dx + 1) * Co] for dx in range(3)]
+            else:
+                # wide channels: K = 3*Ci is already whole 128-passes; three
+                # separate (Co, 3Ci) matmuls pipeline better than one 3Co-tall
+                accs = [
+                    jax.lax.dot_general(
+                        w[dx * Co : (dx + 1) * Co], s,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    accs[dx] = o if accs[dx] is None else accs[dx] + o
+                    for dx in range(3)
+                ]
             # y[w] = acc1[w] + acc0[w-1] + acc2[w+1], SAME zero padding
             zero = jnp.zeros_like(accs[1])
             acc = accs[1]
@@ -84,9 +99,9 @@ def _fwd_kernel(x_ref, w_ref, y_ref, carry, *, R, G, Ci, Co, W, out_dtype):
             y_ref[0, r] = acc.astype(out_dtype)
 
     # ingest the current group for the next step (reads before writes)
-    prev_last = carry[R]
-    carry[0] = prev_last
-    carry[1:] = x_ref[0]
+    prev_last = slab[R]
+    slab[0] = prev_last
+    slab[1 : R + 1] = x_ref[0]
 
 
 def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
@@ -97,7 +112,10 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
     assert H % R == 0, (H, R)
     G = H // R
 
-    wk = jnp.transpose(w, (0, 1, 3, 2))  # (3, 3, Co, Ci)
+    # (3(dx)*Co, 3(dy)*Ci): dy folded into the contraction dim — ordered to
+    # match the slab's row-contiguous [dy=0 | dy=1 | dy=2] stacking — and the
+    # dx phases stacked along the output dim
+    wk = jnp.transpose(w, (1, 3, 0, 2)).reshape(3 * Co, 3 * Ci)
     kern = functools.partial(
         _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W, out_dtype=x.dtype
     )
@@ -111,7 +129,7 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 3, Co, Ci), lambda b, g: (0, 0, 0, 0),
+                (3 * Co, 3 * Ci), lambda b, g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -121,15 +139,18 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Co, W), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R + 1, Ci, W), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R + 2, Ci, W), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # the 128-ch full-width blocks need slightly over the default
+            # 16 MiB scoped-vmem budget (v5e has 128 MiB physical VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, wk)
 
 
-def _wgrad_kernel(x_ref, g_ref, dw_ref, carry, *, R, G, Ci, Co, W):
+def _wgrad_kernel(x_ref, g_ref, dw_ref, slab, *, R, G, Ci, Co, W):
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -139,13 +160,12 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, carry, *, R, G, Ci, Co, W):
 
     @pl.when(g == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
+        slab[R] = jnp.zeros_like(slab[R])  # epilogue moves this into slab[0]
 
     @pl.when(g > 0)
     def _():
         below = x_ref[0, 0]
-        below = jnp.where(g == G, jnp.zeros_like(below), below)
-        rows = [carry[i] for i in range(R + 1)] + [below]
+        slab[R + 1] = jnp.where(g == G, jnp.zeros_like(below), below)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         not_first, not_last = lane > 0, lane < W - 1
@@ -154,6 +174,8 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, carry, *, R, G, Ci, Co, W):
         # with g_dx the (1-dx)-shifted cotangent. The shift runs in f32
         # (Mosaic cannot rotate bf16) and is exact: rolling does not change
         # the bf16 values, so the round-trip through f32 is lossless.
+        # All three dy taps ride in ONE matmul per (r, dx): the slab is
+        # row-contiguous, so rows r..r+2 stack into the M dim for free.
         gshift = []
         for r in range(R):
             gf = g_ref[0, r].astype(jnp.float32)
@@ -164,21 +186,21 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, carry, *, R, G, Ci, Co, W):
                 (gm.astype(g_ref.dtype), g_ref[0, r], gp.astype(g_ref.dtype))
             )
 
-        for dy in range(3):
-            for dx in range(3):
-                acc = None
-                for r in range(R):
-                    o = jax.lax.dot_general(
-                        rows[r + dy], gshift[r][dx],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = o if acc is None else acc + o
-                dw_ref[dy, dx] = dw_ref[dy, dx] + acc
+        for dx in range(3):
+            acc = None
+            for r in range(R):
+                s = slab[r : r + 3].reshape(3 * Ci, W)
+                o = jax.lax.dot_general(
+                    s, gshift[r][dx],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3*Ci, Co)
+                acc = o if acc is None else acc + o
+            dw_ref[:, dx] = dw_ref[:, dx] + acc.reshape(3, Ci, Co)
 
-    prev_last = carry[R]
-    carry[0] = prev_last
-    carry[1:] = x_ref[0]
+    prev_last = slab[R]
+    slab[0] = prev_last
+    slab[1 : R + 1] = x_ref[0]
 
 
 def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False):
@@ -209,9 +231,12 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, 3, Ci, Co), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R + 1, Ci, W), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R + 2, Ci, W), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # the 128-ch full-width blocks need slightly over the default
+            # 16 MiB scoped-vmem budget (v5e has 128 MiB physical VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, gy)
@@ -221,9 +246,12 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False):
 def conv3x3_bhcw(x, w, rows_per_step=None, interpret=False):
     """SAME-padded stride-1 3x3 conv on (B, H, C, W) input.
 
-    Numerically matches ``lax.conv_general_dilated`` with f32 accumulation
-    (same per-pixel 9-tap summation order). ``w`` is (3, 3, Ci, Co) in the
-    input dtype; the gradient has matching dtypes (f32-accumulated, rounded).
+    Numerically matches ``lax.conv_general_dilated`` up to f32-accumulation
+    reassociation: every tap product is accumulated in f32 (the vertical taps
+    ride inside one 3*Ci-deep matmul, the horizontal phases are added after),
+    so results agree with XLA's conv to ~1e-4 in bf16. ``w`` is (3, 3, Ci,
+    Co) in the input dtype; gradients have matching dtypes (f32-accumulated,
+    rounded).
     """
     return _conv3x3_fwd(x, w, rows_per_step, interpret)
 

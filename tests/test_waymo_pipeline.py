@@ -157,3 +157,80 @@ def test_sync_bn_selects_step(rng):
     assert build_train_step_fn(
         model, cfg.replace(sync_bn=False), mesh
     ).bn_semantics == "local"
+
+
+def test_build_segment_body_with_fake_protos(tmp_path, rng):
+    """Execute the tfrecord builder body (build_segment_from_frames) against
+    synthesized Frame fixtures mimicking the proto attribute surface —
+    covers projection, extrinsic transform, label/motion extraction, npz +
+    roidb write (create_range_image_roidb.py:141-219) without TF."""
+    from types import SimpleNamespace as NS
+    from rangedet_tpu.data.waymo_builder import (
+        azimuth_table, build_segment_from_frames, spherical_to_cartesian,
+    )
+
+    H, W = 8, 64
+    theta = 0.3  # lidar extrinsic yaw
+    c, s = np.cos(theta), np.sin(theta)
+    extrinsic = np.array(
+        [[c, -s, 0, 1.5], [s, c, 0, -0.5], [0, 0, 1, 2.0], [0, 0, 0, 1]],
+        np.float32)
+    incl = np.linspace(-0.3, 0.03, H).astype(np.float32)  # proto stores
+    # inclinations bottom-up; the builder reverses them
+
+    def make_frame(i):
+        r = rng.uniform(5, 60, (H, W)).astype(np.float32)
+        r[0, :4] = -1  # missing returns
+        ri = np.stack([r, rng.uniform(0, 1, (H, W)),
+                       rng.uniform(0, 0.2, (H, W)),
+                       -np.ones((H, W))], -1).astype(np.float32)
+        ri_msg = NS(data=ri.ravel().tolist(), shape=NS(dims=list(ri.shape)))
+        calib = NS(name=1, beam_inclinations=incl.tolist(),
+                   extrinsic=NS(transform=extrinsic.ravel().tolist()))
+        labels = [
+            NS(box=NS(center_x=10.0 + i, center_y=2.0, center_z=1.0,
+                      length=4.0, width=2.0, height=1.8, heading=0.3),
+               type=1, num_lidar_points_in_box=17,
+               metadata=NS(speed_x=3.0, speed_y=-1.0, accel_x=0.5,
+                           accel_y=0.0)),
+        ]
+        return NS(context=NS(name="fake_seg", laser_calibrations=[calib]),
+                  laser_labels=labels, timestamp_micros=1000 + i), ri
+
+    frames, ris = zip(*[make_frame(i) for i in range(2)])
+
+    def parse(f):
+        ri = ris[frames.index(f)]
+        return {1: [NS(data=ri.ravel().tolist(), shape=NS(dims=list(ri.shape)))]}
+
+    roidb = build_segment_from_frames(
+        iter(frames), parse, str(tmp_path), "training", "fake_seg"
+    )
+
+    assert len(roidb) == 2
+    rec = roidb[0]
+    # motion metadata retained, reference layout (M, 4)
+    np.testing.assert_allclose(rec["meta_data"], [[3.0, -1.0, 0.5, 0.0]])
+    np.testing.assert_allclose(rec["points_in_box"], [17.0])
+    assert rec["meta_info"]["name"] == "fake_seg"
+    assert rec["gt_bbox_csa"].shape == (1, 7)
+
+    # npz written and geometrically consistent: pc == extrinsic-transformed
+    # spherical projection, zero at missing returns
+    npkl = np.load(rec["pc_url"])
+    ri = ris[0]
+    assert npkl["range_image"].shape == (H, W, 4)
+    np.testing.assert_allclose(npkl["range_image"], ri, atol=1e-6)
+    az = azimuth_table(W, theta)
+    pc_expect = spherical_to_cartesian(
+        np.maximum(ri[..., 0], 0), incl[::-1], az
+    ) @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    pc_expect[ri[..., 0] <= 0] = 0
+    np.testing.assert_allclose(npkl["pc_vehicle_frame"], pc_expect, atol=1e-4)
+
+    # the produced files round-trip through the training loader path
+    roidb2 = load_roidbs(str(tmp_path), ("training",), 1, ("TYPE_VEHICLE",))
+    cfg = tiny_config().replace(pad_field=(H, 128))
+    b = record_to_inputs(roidb2[0], (H, 128), cfg.max_gt_boxes)
+    assert np.isfinite(b["input_data"]).all()
+    assert b["gt_valid"].sum() == 1

@@ -74,7 +74,11 @@ def main():
                 anno = {
                     "gt_bbox_csa": np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7)))),
                     "gt_class": np.asarray(rec.get("gt_class", np.zeros(0))),
+                    "points_in_box": np.asarray(
+                        rec.get("points_in_box", np.zeros(0))),
                 }
+                if isinstance(rec.get("meta_info"), dict):
+                    anno["meta_info"] = rec["meta_info"]
                 yield rec.get("rec_id", rec.get("pc_url", "?")), b, anno
 
     # ---------------------------------------------------------------- model
