@@ -174,20 +174,36 @@ def conv3x3_bhcw_best(
     xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas kernel for stride-1 on TPU, XLA form otherwise."""
-    if (
-        use_pallas
-        and stride_w == 1
-        and jax.default_backend() == "tpu"
-        and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
-    ):
-        return conv3x3_pallas(xb, kernel)
+    """Dispatch: Pallas kernel for stride-1 on TPU; native lax.conv in NHCW
+    for strided convs (the shifted-einsum form is 5-10x slower there: the
+    strided lane slices defeat the fusion emitter — profiled on v5e); the
+    einsum form remains the CPU/interpret fallback."""
+    if stride_w == 1:
+        if (
+            use_pallas
+            and jax.default_backend() == "tpu"
+            and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
+        ):
+            return conv3x3_pallas(xb, kernel)
+        return conv3x3_bhcw_xla(xb, kernel, stride_w)
+    if jax.default_backend() == "tpu":
+        return jax.lax.conv_general_dilated(
+            xb, kernel, (1, stride_w), "SAME",
+            dimension_numbers=("NHCW", "HWIO", "NHCW"),
+        )
     return conv3x3_bhcw_xla(xb, kernel, stride_w)
 
 
 def conv1x1_bhcw(xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
                  ) -> jnp.ndarray:
     """1x1 conv on (B, H, C, W); kernel (C_in, C_out)."""
+    if stride_w != 1 and jax.default_backend() == "tpu":
+        # native conv handles the strided lane subsample + matmul in one op
+        # (a ::stride lane slice before einsum is slow on v5e)
+        return jax.lax.conv_general_dilated(
+            xb, kernel[None, None], (1, stride_w), "VALID",
+            dimension_numbers=("NHCW", "HWIO", "NHCW"),
+        )
     if stride_w != 1:
         xb = xb[:, :, :, ::stride_w]
     return jnp.einsum("bhiw,io->bhow", xb, kernel,

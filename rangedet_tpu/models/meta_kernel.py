@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import extract_patches_3x3
@@ -69,6 +70,8 @@ class MetaKernel(nn.Module):
                 w0["bias"].astype(self.dtype),
                 w1["kernel"].astype(self.dtype),
                 w1["bias"].astype(self.dtype),
+                32,
+                jax.default_backend() != "tpu",  # interpret off-TPU
             )
 
         nb_coords = extract_patches_3x3(coords)  # (B, H, W, 9, 3)

@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--epoch", type=int, default=None, help="checkpoint epoch")
     p.add_argument("--output", default=None, help="output pickle path")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--batch", type=int, default=0,
+                   help="eval batch size (frames per device step; default: "
+                        "one per local device, sharded over the mesh)")
     return p.parse_args()
 
 
@@ -113,29 +116,64 @@ def main():
     eval_step = jax.jit(make_eval_step(model, cfg))
     prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
 
+    # ---------------------------------------------------------- batched eval
+    # The reference parallelizes eval with one DetModule per GPU fed by
+    # queues (reference tools/test.py:139-170). Here frames are stacked into
+    # a batch sharded over the mesh's data axis — one jitted program, B
+    # frames per dispatch — with host-side record prep prefetched a batch
+    # ahead (data/prefetch.py).
+    from rangedet_tpu.data.prefetch import threaded_prefetch
+    from rangedet_tpu.parallel import make_mesh, shard_batch
+
+    n_dev = len(jax.devices())
+    eval_bs = args.batch or n_dev
+    mesh = make_mesh({"data": max(d for d in range(1, n_dev + 1)
+                                  if eval_bs % d == 0)})
+
+    def batched_frames():
+        buf = []
+        for item in threaded_prefetch(iter(frames()), depth=2 * eval_bs):
+            buf.append(item)
+            if len(buf) == eval_bs:
+                yield buf, eval_bs
+                buf = []
+        if buf:
+            real = len(buf)
+            buf = buf + [buf[-1]] * (eval_bs - real)  # pad the tail batch
+            yield buf, real
+
     output_dict, annotation_dict = {}, {}
     t0 = time.time()
     n = 0
-    for rec_id, batch, anno in frames():
-        import jax.numpy as jnp
-
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = eval_step(state, prep(batch))
+    for group, real in batched_frames():
+        stacked = {
+            k: np.concatenate([np.asarray(b[k]) for _, b, _ in group])
+            for k in group[0][1]
+        }
+        out = eval_step(state, prep(shard_batch(stacked, mesh)))
         # match the reference pickle contract consumed by
         # tools/create_prediction_bin_3d.py:85-97: per-frame
         # {'det_xyzlwhyaws': {class_name: (N, 8) [x,y,z,l,w,h,yaw,score]},
         #  'meta_info': {'name', 'timestamp_micros'}}
-        det = {}
-        for cls_name, res in out.items():
-            boxes = np.asarray(res["boxes"][0])
-            valid = np.asarray(res["valid"][0])
-            det[cls_name] = boxes[valid][: cfg.max_det_per_image]
-        meta = anno.get("meta_info", {"name": str(rec_id), "timestamp_micros": 0})
-        output_dict[rec_id] = {"det_xyzlwhyaws": det, "meta_info": meta}
-        annotation_dict[rec_id] = anno
-        n += 1
+        out = jax.device_get(out)
+        for j in range(real):
+            rec_id, _, anno = group[j]
+            det = {}
+            for cls_name, res in out.items():
+                boxes = np.asarray(res["boxes"][j])
+                valid = np.asarray(res["valid"][j])
+                det[cls_name] = boxes[valid][: cfg.max_det_per_image]
+            meta = anno.get(
+                "meta_info", {"name": str(rec_id), "timestamp_micros": 0}
+            )
+            output_dict[rec_id] = {"det_xyzlwhyaws": det, "meta_info": meta}
+            annotation_dict[rec_id] = anno
+            n += 1
     dt = time.time() - t0
-    logger.info(f"{n} frames in {dt:.1f}s ({n / dt:.2f} frames/s)")
+    logger.info(
+        f"{n} frames in {dt:.1f}s ({n / dt:.2f} frames/s, "
+        f"batch {eval_bs} over {dict(mesh.shape)})"
+    )
 
     out_path = args.output or os.path.join(
         cfg.experiment_dir, cfg.name, "predictions.pkl"
