@@ -70,8 +70,11 @@ def main():
     train_dt = (time.perf_counter() - t0) / N_ITERS
     train_fps = cfg.batch_image / train_dt
 
+    # inference throughput at the batched-eval batch size (tools/test.py
+    # --batch; frames/s is per chip either way)
+    EVAL_BATCH = 4
     cfg_t = load_config("rangedet_veh_wo_aug_4_18e", False)
-    ebatch_np = make_batch(cfg_t, 1, seed=1, num_boxes=20)
+    ebatch_np = make_batch(cfg_t, EVAL_BATCH, seed=1, num_boxes=20)
     ebatch = build_eval_inputs(
         {k: jnp.asarray(v) for k, v in ebatch_np.items()}, cfg_t
     )
@@ -93,7 +96,7 @@ def main():
         out = eval_step(state, ebatch)
     float(out["veh"]["boxes"][0, 0, 0])
     infer_dt = (time.perf_counter() - t0) / N_ITERS
-    infer_fps = 1.0 / infer_dt
+    infer_fps = EVAL_BATCH / infer_dt
 
     # combined train+infer figure: harmonic-style composite (a frame must be
     # both trained on and inferred once => time adds)

@@ -45,7 +45,10 @@ class RangeDetConfig:
     use_pallas_meta: bool = False
     use_pallas_conv: bool = True  # Pallas conv3x3 kernels (layout="bhcw")
     remat: bool = False  # jax.checkpoint over backbone stages (memonger equiv)
-    remat_meta: bool = True  # recompute the 9C Meta-Kernel tensor in backward
+    # recompute the 9C Meta-Kernel tensor in backward; default OFF — the
+    # (B,H,W,9C) activation fits v5e HBM comfortably and keeping it saves
+    # 7.4 ms/step (measured); enable for memory-constrained runs
+    remat_meta: bool = False
     # "planar" runs the conv stack (incl. phase-decomposed deconvs) in
     # (B, C, H, W) as shifted channel-matmuls: ~9% faster train step; NHWC is
     # faster at batch-1 inference, so recipes train planar and eval nhwc —
