@@ -43,6 +43,20 @@ DEFAULT_META_UNITS = {
 }
 
 
+class BhcwMetaAggBN(nn.Module):
+    """meta_agg's BN applied in (B, H, C, W) — scoped so the param path is
+    exactly meta_agg/bn, identical to the nhwc ConvNormRelu tree."""
+
+    use_running_average: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        return BatchNorm(
+            self.use_running_average, self.dtype, channel_axis=2, name="bn"
+        )(x)
+
+
 class MetaBlock(nn.Module):
     """Meta-Kernel -> BN -> relu -> 1x1 aggregation conv-BN-relu
     (dla_backbone.py:59-103's meta_kernel_conv). Separate module so it can be
@@ -53,18 +67,40 @@ class MetaBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    # layout="bhcw" computes the whole block in (B, H, C, W) with a param
+    # tree IDENTICAL to the nhwc one (profiled: the nhwc round-trip cost
+    # ~7 ms/step in pure layout copies of the 9C tensor). Other layouts take
+    # (B, H, W, C) input (BasicBlock transposes for "planar").
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, coords, train: bool = True):
         ura = not train
+        bhcw = self.layout == "bhcw"
         mk = MetaKernel(
             channel_list=tuple(self.channel_list),
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and not bhcw,
+            layout="bhcw" if bhcw else "nhwc",
             name="meta_kernel",
         )(x, coords)
-        mk = BatchNorm(ura, self.dtype, name="meta_bn")(mk)
+        mk = BatchNorm(
+            ura, self.dtype, channel_axis=2 if bhcw else -1, name="meta_bn"
+        )(mk)
         mk = nn.relu(mk)
+        if bhcw and not self.is_initializing():
+            # same nn.Conv("conv")+BN("bn") params as nhwc, applied natively
+            agg = self.variables["params"]["meta_agg"]["conv"]["kernel"]
+            y = conv1x1_bhcw(mk, agg[0, 0].astype(self.dtype))
+            y = BhcwMetaAggBN(ura, self.dtype, name="meta_agg")(y)
+            return nn.relu(y)
+        if bhcw:  # init: create the identical nhwc param tree
+            mk = jnp.transpose(mk, (0, 1, 3, 2))
+            out = ConvNormRelu(
+                self.features, kernel=(1, 1), dtype=self.dtype,
+                use_running_average=ura, name="meta_agg",
+            )(mk)
+            return jnp.transpose(out, (0, 1, 3, 2))
         return ConvNormRelu(
             self.features, kernel=(1, 1), dtype=self.dtype,
             use_running_average=ura, name="meta_agg",
@@ -99,21 +135,18 @@ class BasicBlock(nn.Module):
             )
             if self.layout == "planar":
                 mk_in = jnp.transpose(x, (0, 2, 3, 1))
-            elif self.layout == "bhcw":
-                mk_in = jnp.transpose(x, (0, 1, 3, 2))
-            else:
+            else:  # nhwc and bhcw: MetaBlock handles both natively
                 mk_in = x
             y = block_cls(
                 channel_list=tuple(self.meta_channel_list),
                 features=self.features,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_meta,
+                layout="bhcw" if self.layout == "bhcw" else "nhwc",
                 name="meta_block",
             )(mk_in, coords, train)
             if self.layout == "planar":
                 y = jnp.transpose(y, (0, 3, 1, 2))
-            elif self.layout == "bhcw":
-                y = jnp.transpose(y, (0, 1, 3, 2))
         else:
             y = ConvNormRelu(
                 self.features, dtype=self.dtype, use_running_average=ura,

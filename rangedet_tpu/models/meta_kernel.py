@@ -31,13 +31,63 @@ class MetaKernel(nn.Module):
     channel_list: Sequence[int] = (32, 64)
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    # layout="bhcw": feat is (B, H, C, W) and the output is (B, H, 9C, W) —
+    # computed natively in that layout (no NHWC transposes; profiling showed
+    # the boundary copies cost more than the op itself). The parameter tree
+    # is identical across layouts: init always runs the NHWC formulation.
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-        """feat: (B, H, W, C); coords: (B, H, W, 3) normalized xyz.
+        """feat: (B, H, W, C) [nhwc] or (B, H, C, W) [bhcw]; coords is always
+        (B, H, W, 3) normalized xyz.
 
-        Returns (B, H, W, 9*C) weighted neighborhood features.
+        Returns (B, H, W, 9*C) [nhwc] or (B, H, 9*C, W) [bhcw] weighted
+        neighborhood features (tap-major, channel-minor — matching the
+        reference im2col channel order).
         """
+        if self.layout == "bhcw":
+            if self.is_initializing():
+                # create the identical Dense params via the NHWC math
+                out = self._nhwc(jnp.transpose(feat, (0, 1, 3, 2)), coords)
+                return jnp.transpose(out, (0, 1, 3, 2))
+            return self._bhcw(feat, coords)
+        return self._nhwc(feat, coords)
+
+    def _bhcw(self, feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        import jax.lax as lax
+
+        B, H, C, W = feat.shape
+        C_mid = self.channel_list[0]
+        p = self.variables["params"]
+        w0 = p["mlp0"]["kernel"].astype(self.dtype)  # (3, C_mid)
+        b0 = p["mlp0"]["bias"].astype(self.dtype)
+        w1 = p["mlp1"]["kernel"].astype(self.dtype)  # (C_mid, C)
+        b1 = p["mlp1"]["bias"].astype(self.dtype)
+
+        cb = jnp.transpose(coords, (0, 1, 3, 2)).astype(self.dtype)
+        cp = jnp.pad(cb, ((0, 0), (1, 1), (0, 0), (1, 1)))
+        fp = jnp.pad(feat, ((0, 0), (1, 1), (0, 0), (1, 1)))
+        outs = []
+        for dy in range(3):
+            for dx in range(3):
+                rel = lax.slice(
+                    cp, (0, dy, 0, dx), (B, dy + H, 3, dx + W)
+                ) - cb  # (B, H, 3, W)
+                h = jnp.einsum(
+                    "bhcw,cd->bhdw", rel, w0,
+                    preferred_element_type=self.dtype,
+                ) + b0[None, None, :, None]
+                h = nn.relu(h)
+                wt = jnp.einsum(
+                    "bhdw,dc->bhcw", h, w1,
+                    preferred_element_type=self.dtype,
+                ) + b1[None, None, :, None]
+                nb = lax.slice(fp, (0, dy, 0, dx), (B, dy + H, C, dx + W))
+                outs.append(nb.astype(self.dtype) * wt)
+        return jnp.concatenate(outs, axis=2)  # (B, H, 9C, W)
+
+    def _nhwc(self, feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = feat.shape
         assert self.channel_list[-1] == C, (
             f"MetaKernel MLP must end at the feature width ({C}), "

@@ -44,7 +44,14 @@ def reg_targets(
 
     idx = jnp.maximum(assignment, 0)
     box = gt_csa[idx]  # (N, 7)
+    return _reg_targets_from_box(points, box, assignment >= 0)
 
+
+def _reg_targets_from_box(
+    points: jnp.ndarray, box: jnp.ndarray, assigned: jnp.ndarray
+) -> jnp.ndarray:
+    """reg_targets body with the per-point box rows already looked up —
+    background rows may be anything (they are masked at the end)."""
     azimuth = jnp.arctan2(points[:, 1], points[:, 0])
     delta_yaw = box[:, 6] - azimuth
     yaw_sin = jnp.sin(delta_yaw)
@@ -69,7 +76,7 @@ def reg_targets(
     target = jnp.stack(
         [dx_obs, dy_obs, log_w, log_l, yaw_cos, yaw_sin, bottom, log_h], axis=1
     )
-    return jnp.where((assignment >= 0)[:, None], target, 0.0)
+    return jnp.where(assigned[:, None], target, 0.0)
 
 
 def reg_weights(
@@ -170,12 +177,39 @@ def generate_dense_targets(
     pts = points_hw3.reshape(N, 3)
     num_classes = len(label_set)
     num_reg = len(reg_dim_weights)
+    M = gt_csa.shape[0]
+    gt_csa = gt_csa.astype(jnp.float32)
 
-    tgt = reg_targets(pts, gt_csa, assignment)  # (N, 8)
-    norm_w = normalization_weight(assignment, gt_csa.shape[0])  # (N,)
+    # Every per-box lookup (box row, class id, per-box point count) rides
+    # ONE one-hot matmul on the MXU: the v5e gather/scatter emitters cost
+    # ~10 ms/step on the (340k points × 200 boxes) shapes (profiled), the
+    # matmul + one-hot construction ~1 ms. f32 keeps csa coords exact.
+    assigned = assignment >= 0
+    onehot_box = (
+        (assignment[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
+        & assigned[:, None]
+    ).astype(jnp.float32)  # (N, M)
+    counts = jnp.sum(onehot_box, axis=0)  # (M,) points per box
+
+    mapping = jnp.zeros((8,), jnp.int32)
+    for i, label in enumerate(label_set):
+        mapping = mapping.at[label].set(i)
+    gt_mapped = mapping[jnp.clip(gt_class.astype(jnp.int32), 0, 7)]  # (M,)
+
+    table = jnp.concatenate(
+        [gt_csa, counts[:, None], gt_mapped.astype(jnp.float32)[:, None]],
+        axis=1,
+    )  # (M, 9)
+    per_point = onehot_box @ table  # (N, 9)
+    box = per_point[:, :7]
+
+    tgt = _reg_targets_from_box(pts, box, assigned)  # (N, 8)
+    norm_w = jnp.where(assigned, 1.0 / jnp.maximum(per_point[:, 7], 1.0), 0.0)
     norm_w = jnp.tile(norm_w[:, None], (1, num_reg))  # (N, 8)
     dim_w = reg_weights(assignment, reg_dim_weights)  # (N, 8)
-    cls_t = cls_targets(gt_class, assignment, label_set)  # (N,)
+    cls_t = jnp.where(
+        assigned, jnp.round(per_point[:, 8]).astype(jnp.int32), num_classes
+    )  # (N,) class index, num_classes = background
 
     tgt = class_aware_expand(tgt, cls_t, num_classes)
     norm_w = class_aware_expand(norm_w, cls_t, num_classes)
