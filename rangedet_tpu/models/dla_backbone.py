@@ -22,10 +22,11 @@ from .layers import (
     BatchNorm,
     ConvNormRelu,
     DeconvNormRelu,
+    PendingBN,
     channel_axis_of,
     conv1x1_bhcw,
     conv1x1_planar,
-    conv3x3_bhcw_best,
+    conv3x3_bhcw_consume,
     conv3x3_planar_core,
 )
 from .meta_kernel import MetaKernel
@@ -151,13 +152,16 @@ class BasicBlock(nn.Module):
             y = ConvNormRelu(
                 self.features, dtype=self.dtype, use_running_average=ura,
                 layout=self.layout, use_pallas=self.use_pallas_conv,
+                # bhcw: conv1's BN apply + relu fuses into conv2's ingest
+                emit_pending=self.layout == "bhcw",
                 name="conv1",
             )(x)
 
         if planar:
+            yc = y.y if isinstance(y, PendingBN) else y
             k2 = self.param(
                 "conv2_kernel", nn.initializers.lecun_normal(),
-                (3, 3, y.shape[ch_ax], self.features), jnp.float32,
+                (3, 3, yc.shape[ch_ax], self.features), jnp.float32,
             )
             if self.layout == "planar":
                 y = conv3x3_planar_core(
@@ -165,8 +169,10 @@ class BasicBlock(nn.Module):
                     self.strides[1]
                 )
             else:
-                y = conv3x3_bhcw_best(
-                    y.astype(self.dtype), k2.astype(self.dtype),
+                if not isinstance(y, PendingBN):
+                    y = y.astype(self.dtype)
+                y = conv3x3_bhcw_consume(
+                    y, k2.astype(self.dtype),
                     self.strides[1], self.use_pallas_conv,
                 )
         else:

@@ -19,6 +19,7 @@ from .layers import (
     channel_axis_of,
     conv1x1_bhcw,
     conv1x1_planar,
+    materialize,
 )
 
 
@@ -44,6 +45,10 @@ class RangeRpnHead(nn.Module):
         """
         gauss = nn.initializers.normal(0.01)
         planar = self.layout in PLANAR_LAYOUTS
+        # bhcw towers chain PendingBN: each conv's BN apply + relu is fused
+        # into the next conv's kernel ingest; the 1x1 projections fuse the
+        # final materialize into their XLA matmul read
+        pend = self.layout == "bhcw"
         cls_out, reg_out = [], []
         for level, feat in enumerate(feats):
             cls_feat = reg_feat = feat.astype(self.dtype)
@@ -55,6 +60,7 @@ class RangeRpnHead(nn.Module):
                     kernel_init=gauss,
                     layout=self.layout,
                     use_pallas=self.use_pallas_conv,
+                    emit_pending=pend,
                     name=f"cls_conv_{i}_lvl_{level}",
                 )(cls_feat)
             for i in range(self.reg_conv_layers):
@@ -65,8 +71,11 @@ class RangeRpnHead(nn.Module):
                     kernel_init=gauss,
                     layout=self.layout,
                     use_pallas=self.use_pallas_conv,
+                    emit_pending=pend,
                     name=f"reg_conv_{i}_lvl_{level}",
                 )(reg_feat)
+            cls_feat = materialize(cls_feat)
+            reg_feat = materialize(reg_feat)
 
             if planar:
                 cls_logit = self._head_1x1(

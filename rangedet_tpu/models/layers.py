@@ -11,18 +11,43 @@ rangedet/symbol/head/builder.py:257-261).
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, NamedTuple, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import _pick_rows_per_step
+from ..ops.conv_pallas import _pick_rows_per_step, conv3x3_bnrelu_bhcw
 from ..ops.conv_pallas import conv3x3_bhcw as conv3x3_pallas
 
 Dtype = Any
 
 PLANAR_LAYOUTS = ("planar", "bhcw")  # channel-major / channel-sublane
+
+
+class PendingBN(NamedTuple):
+    """A conv output with its BatchNorm apply + relu *deferred*: the consumer
+    conv fuses ``relu(y*scale+bias)`` into its VMEM ingest
+    (ops/conv_pallas.py:conv3x3_bnrelu_bhcw), so the activated tensor never
+    round-trips HBM. bhcw layout only; ``scale``/``bias`` are the f32 BN fold.
+    """
+
+    y: jnp.ndarray      # raw conv output (B, H, C, W)
+    scale: jnp.ndarray  # f32 (C,)
+    bias: jnp.ndarray   # f32 (C,)
+
+    def materialize(self) -> jnp.ndarray:
+        yf = self.y.astype(jnp.float32)
+        a = yf * self.scale[None, None, :, None]
+        a = a + self.bias[None, None, :, None]
+        return jnp.maximum(a, 0.0).astype(self.y.dtype)
+
+
+MaybePending = Union[jnp.ndarray, PendingBN]
+
+
+def materialize(x: MaybePending) -> jnp.ndarray:
+    return x.materialize() if isinstance(x, PendingBN) else x
 
 
 def channel_axis_of(layout: str) -> int:
@@ -46,6 +71,9 @@ class BatchNorm(nn.Module):
     use_running_average: bool
     dtype: Dtype = jnp.float32
     channel_axis: int = -1  # -1 for NHWC, 1 for planar (B, C, H, W)
+    # affine_out: return PendingBN(x, fold_scale, fold_bias) instead of the
+    # normalized tensor — the consumer fuses apply+relu (bhcw only)
+    affine_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -72,9 +100,12 @@ class BatchNorm(nn.Module):
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
 
+        inv = jax.lax.rsqrt(var + BN_EPSILON) * scale
+        if self.affine_out:
+            assert ch_axis == 2, "PendingBN is bhcw-only (channel axis 2)"
+            return PendingBN(x.astype(self.dtype), inv, bias - mean * inv)
         shape = [1] * x.ndim
         shape[ch_axis] = C
-        inv = jax.lax.rsqrt(var + BN_EPSILON) * scale
         mul = inv.astype(self.dtype).reshape(shape)
         add = (bias - mean * inv).astype(self.dtype).reshape(shape)
         return x.astype(self.dtype) * mul + add
@@ -194,6 +225,25 @@ def conv3x3_bhcw_best(
     return conv3x3_bhcw_xla(xb, kernel, stride_w)
 
 
+def conv3x3_bhcw_consume(
+    x: MaybePending, kernel: jnp.ndarray, stride_w: int = 1,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """conv3x3_bhcw_best that additionally fuses a PendingBN input's BN
+    apply + relu into the Pallas kernel ingest when available."""
+    if isinstance(x, PendingBN):
+        if (
+            stride_w == 1
+            and use_pallas
+            and jax.default_backend() == "tpu"
+            and x.y.shape[1] % _pick_rows_per_step(x.y.shape[2], x.y.shape[1])
+            == 0
+        ):
+            return conv3x3_bnrelu_bhcw(x.y, kernel, x.scale, x.bias)
+        x = x.materialize()
+    return conv3x3_bhcw_best(x, kernel, stride_w, use_pallas)
+
+
 def conv1x1_bhcw(xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
                  ) -> jnp.ndarray:
     """1x1 conv on (B, H, C, W); kernel (C_in, C_out)."""
@@ -307,20 +357,29 @@ class ConvNormRelu(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
     layout: str = "nhwc"  # or "planar" / "bhcw"
     use_pallas: bool = True  # bhcw only: Pallas conv kernel on TPU
+    # emit_pending (bhcw): return PendingBN — defer this layer's BN apply +
+    # relu into the consumer (a following ConvNormRelu fuses it on ingest;
+    # XLA matmul consumers fuse the materialize for free)
+    emit_pending: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x: MaybePending):
         if self.layout in PLANAR_LAYOUTS:
             assert self.strides[0] == 1 and self.strides[1] in (1, 2)
             ch_ax = channel_axis_of(self.layout)
-            Ci = x.shape[ch_ax]
-            x = x.astype(self.dtype)
+            fused_in = isinstance(x, PendingBN) and self.layout == "bhcw"
+            if isinstance(x, PendingBN) and not fused_in:
+                x = x.materialize()
+            Ci = (x.y if fused_in else x).shape[ch_ax]
             if self.kernel == (1, 1):
+                if fused_in:
+                    x = x.materialize()
                 k = self.param(
                     "kernel", self.kernel_init, (Ci, self.features), jnp.float32
                 )
                 c1 = conv1x1_planar if self.layout == "planar" else conv1x1_bhcw
-                x = c1(x, k.astype(self.dtype), self.strides[1])
+                x = c1(x.astype(self.dtype), k.astype(self.dtype),
+                       self.strides[1])
             else:
                 assert self.kernel == (3, 3)
                 k = self.param(
@@ -329,18 +388,24 @@ class ConvNormRelu(nn.Module):
                 )
                 if self.layout == "planar":
                     x = conv3x3_planar_core(
-                        x, k.astype(self.dtype), self.strides[1]
+                        x.astype(self.dtype), k.astype(self.dtype),
+                        self.strides[1]
                     )
                 else:
-                    x = conv3x3_bhcw_best(
+                    if not fused_in:
+                        x = x.astype(self.dtype)
+                    x = conv3x3_bhcw_consume(
                         x, k.astype(self.dtype), self.strides[1],
                         self.use_pallas,
                     )
-            x = BatchNorm(
+            out = BatchNorm(
                 self.use_running_average, self.dtype, channel_axis=ch_ax,
+                affine_out=self.emit_pending and self.layout == "bhcw",
                 name="bn",
             )(x)
-            return nn.relu(x)
+            if isinstance(out, PendingBN):
+                return out
+            return nn.relu(out)
 
         x = nn.Conv(
             self.features,

@@ -36,13 +36,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_rows_per_step(ci: int, h: int) -> int:
-    r = 4 if ci <= 64 else 2
+    # swept on v5e (BENCH.md round 2): 64-ch full-width convs peak at R=16,
+    # 128-ch at R=4 (VMEM slab stays < 6 MB either way)
+    r = 16 if ci <= 64 else 4
     while h % r:
         r //= 2
     return max(r, 1)
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, slab, *, R, G, Ci, Co, W, out_dtype):
+def _ingest(rows, s_ref, b_ref):
+    """Optional fused producer-BN: rows -> relu(rows * scale + bias).
+
+    The affine runs in f32 (scale/bias are the f32 BN fold) and casts back;
+    this replaces the standalone BN-apply+relu HBM pass of the producer."""
+    if s_ref is None:
+        return rows
+    shape = (1,) * (rows.ndim - 2) + (rows.shape[-2], 1)
+    rf = rows.astype(jnp.float32) * s_ref[...].reshape(shape)
+    rf = rf + b_ref[...].reshape(shape)
+    return jnp.maximum(rf, 0.0).astype(rows.dtype)
+
+
+def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, out_dtype):
+    refs = list(refs)
+    x_ref, w_ref = refs[:2]
+    refs = refs[2:]
+    s_ref = b_ref = None
+    if affine:
+        s_ref, b_ref = refs[:2]
+        refs = refs[2:]
+    xo_ref = s2_ref = b2_ref = dsc_ref = db_ref = None
+    if bwd_affine:
+        xo_ref, s2_ref, b2_ref = refs[:3]
+        y_ref, dsc_ref, db_ref, slab = refs[3:]
+    else:
+        y_ref, slab = refs
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -51,11 +79,18 @@ def _fwd_kernel(x_ref, w_ref, y_ref, slab, *, R, G, Ci, Co, W, out_dtype):
         # makes step 1 see row -1 == 0 (SAME zero padding)
         slab[R] = jnp.zeros_like(slab[R])
 
+    if bwd_affine:
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0, g == 0))
+        def _():
+            dsc_ref[...] = jnp.zeros_like(dsc_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
     @pl.when(g > 0)
     def _():
         # slab rows [0, R+1): input rows R*(g-1) - 1 .. R*(g-1) + R - 1;
         # complete the window with the first row of the current block
-        below = x_ref[0, 0]
+        below = _ingest(x_ref[0, 0], s_ref, b_ref)
         slab[R + 1] = jnp.where(g == G, jnp.zeros_like(below), below)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -96,15 +131,43 @@ def _fwd_kernel(x_ref, w_ref, y_ref, slab, *, R, G, Ci, Co, W, out_dtype):
                                   zero)
             acc = acc + jnp.where(not_last, pltpu.roll(accs[2], W - 1, axis=1),
                                   zero)
-            y_ref[0, r] = acc.astype(out_dtype)
+            if bwd_affine:
+                # this invocation is the dgrad of conv3x3_bnrelu: acc is the
+                # cotangent of the *activated* input a = relu(x*s+b); finish
+                # the affine/relu backward here so `da` never touches HBM:
+                # dx = dz*s, dscale += sum(dz*x), dbias += sum(dz)
+                s2 = s2_ref[...]  # (Co, 1) f32
+                xf = xo_ref[0, r].astype(jnp.float32)
+                z = xf * s2 + b2_ref[...]
+                dz = jnp.where(z > 0, acc, 0.0)
+                y_ref[0, r] = (dz * s2).astype(out_dtype)
+                dsc_ref[...] += jnp.sum(dz * xf, axis=1, keepdims=True)
+                db_ref[...] += jnp.sum(dz, axis=1, keepdims=True)
+            else:
+                y_ref[0, r] = acc.astype(out_dtype)
 
     # ingest the current group for the next step (reads before writes)
     prev_last = slab[R]
     slab[0] = prev_last
-    slab[1 : R + 1] = x_ref[0]
+    slab[1 : R + 1] = _ingest(x_ref[0], s_ref, b_ref)
 
 
-def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
+def _affine_specs_operands(in_specs, operands, in_scale, in_bias, Ci):
+    if in_scale is None:
+        return in_specs, operands
+    spec = pl.BlockSpec((Ci, 1), lambda b, g: (0, 0), memory_space=pltpu.VMEM)
+    return in_specs + [spec, spec], operands + [
+        in_scale.reshape(Ci, 1).astype(jnp.float32),
+        in_bias.reshape(Ci, 1).astype(jnp.float32),
+    ]
+
+
+def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
+                 in_scale=None, in_bias=None, bwd_affine=None):
+    """bwd_affine (dgrad-of-fused use only): a tuple (xo, scale, bias) of the
+    fused op's raw input and producer fold; the kernel then returns
+    (dx, dscale, dbias) with the relu/affine backward fused into the
+    epilogue instead of the plain convolution output."""
     B, H, Ci, W = x.shape
     Co = w.shape[-1]
     assert w.shape == (3, 3, Ci, Co), w.shape
@@ -117,28 +180,52 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
     # dx phases stacked along the output dim
     wk = jnp.transpose(w, (1, 3, 0, 2)).reshape(3 * Co, 3 * Ci)
     kern = functools.partial(
-        _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W, out_dtype=x.dtype
+        _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
+        affine=in_scale is not None, bwd_affine=bwd_affine is not None,
+        out_dtype=x.dtype
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, R, Ci, W),
+            lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (3 * Co, 3 * Ci), lambda b, g: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    in_specs, operands = _affine_specs_operands(
+        in_specs, [x, wk], in_scale, in_bias, Ci
+    )
+    out_spec = pl.BlockSpec(
+        (1, R, Co, W),
+        lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = out_spec
+    out_shape = jax.ShapeDtypeStruct((B, H, Co, W), x.dtype)
+    if bwd_affine is not None:
+        xo, scale, bias = bwd_affine
+        in_specs.append(out_spec)  # raw x, aligned to the output rows
+        operands.append(xo)
+        in_specs, operands = _affine_specs_operands(
+            in_specs, operands, scale, bias, Co
+        )
+        vec = pl.BlockSpec((Co, 1), lambda b, g: (0, 0),
+                           memory_space=pltpu.VMEM)
+        out_specs = (out_spec, vec, vec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((Co, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Co, 1), jnp.float32),
+        )
     return pl.pallas_call(
         kern,
         grid=(B, G + 1),
-        in_specs=[
-            pl.BlockSpec(
-                (1, R, Ci, W),
-                lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3 * Co, 3 * Ci), lambda b, g: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, R, Co, W),
-            lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Co, W), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((R + 2, Ci, W), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -147,10 +234,15 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, wk)
+    )(*operands)
 
 
-def _wgrad_kernel(x_ref, g_ref, dw_ref, slab, *, R, G, Ci, Co, W):
+def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine):
+    if affine:
+        x_ref, g_ref, s_ref, b_ref, dw_ref, slab = refs
+    else:
+        x_ref, g_ref, dw_ref, slab = refs
+        s_ref = b_ref = None
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -164,7 +256,7 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, slab, *, R, G, Ci, Co, W):
 
     @pl.when(g > 0)
     def _():
-        below = x_ref[0, 0]
+        below = _ingest(x_ref[0, 0], s_ref, b_ref)
         slab[R + 1] = jnp.where(g == G, jnp.zeros_like(below), below)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -200,32 +292,40 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, slab, *, R, G, Ci, Co, W):
 
     prev_last = slab[R]
     slab[0] = prev_last
-    slab[1 : R + 1] = x_ref[0]
+    slab[1 : R + 1] = _ingest(x_ref[0], s_ref, b_ref)
 
 
-def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False):
+def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
+                   in_scale=None, in_bias=None):
     B, H, Ci, W = x.shape
     Co = gy.shape[2]
     R = rows_per_step or _pick_rows_per_step(Ci, H)
     assert H % R == 0, (H, R)
     G = H // R
 
-    kern = functools.partial(_wgrad_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W)
+    kern = functools.partial(
+        _wgrad_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
+        affine=in_scale is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, R, Ci, W),
+            lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, R, Co, W),
+            lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    in_specs, operands = _affine_specs_operands(
+        in_specs, [x, gy], in_scale, in_bias, Ci
+    )
     return pl.pallas_call(
         kern,
         grid=(B, G + 1),
-        in_specs=[
-            pl.BlockSpec(
-                (1, R, Ci, W),
-                lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, R, Co, W),
-                lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, 3, Ci, Co), lambda b, g: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -239,7 +339,7 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, gy)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -270,3 +370,42 @@ def _conv3x3_vjp_bwd(rows_per_step, interpret, res, gy):
 
 
 conv3x3_bhcw.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_bnrelu_bhcw(x, w, scale, bias, rows_per_step=None,
+                        interpret=False):
+    """conv3x3(relu(x * scale + bias)) with the affine+relu fused into the
+    kernels' VMEM ingest — the producer's BatchNorm apply folded into this
+    conv, so the activated tensor never round-trips HBM.
+
+    ``scale``/``bias`` are the f32 per-channel BN fold of the *producer*
+    (gamma/sqrt(var+eps), beta - mean*gamma/sqrt(var+eps)); gradients flow
+    to all four of (x, w, scale, bias), so BN statistics backward is exact.
+    Equivalent of the reference's conv-BN-relu chaining
+    (mxnext/simple.py:502, head towers builder.py:198-266) without the
+    inter-op memory traffic.
+    """
+    return _conv3x3_fwd(x, w, rows_per_step, interpret, scale, bias)
+
+
+def _bnrelu_vjp_fwd(x, w, scale, bias, rows_per_step, interpret):
+    y = _conv3x3_fwd(x, w, rows_per_step, interpret, scale, bias)
+    return y, (x, w, scale, bias)
+
+
+def _bnrelu_vjp_bwd(rows_per_step, interpret, res, gy):
+    x, w, scale, bias = res
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    # dgrad with the relu/affine backward fused into its epilogue: the
+    # activated-input cotangent `da` lives only in VMEM; dscale/dbias
+    # accumulate across the grid (no standalone XLA reduction passes)
+    dx, dscale, dbias = _conv3x3_fwd(
+        gy, w_flip, rows_per_step, interpret, bwd_affine=(x, scale, bias)
+    )
+    # wgrad recomputes a on ingest (reads raw x + gy only)
+    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret, scale, bias)
+    return dx, dw.astype(w.dtype), dscale[:, 0], dbias[:, 0]
+
+
+conv3x3_bnrelu_bhcw.defvjp(_bnrelu_vjp_fwd, _bnrelu_vjp_bwd)

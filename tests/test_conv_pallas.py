@@ -117,3 +117,67 @@ def test_bhcw_model_matches_nhwc():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-3
         )
+
+
+def test_conv3x3_bnrelu_fused_fwd_bwd_exact():
+    # fused producer-BN ingest: conv(relu(x*s+b)) == materialized oracle,
+    # incl. gradients to all four inputs (ops/conv_pallas.py
+    # conv3x3_bnrelu_bhcw; the fold of mxnext conv-BN-relu chaining,
+    # mxnext/simple.py:502)
+    from rangedet_tpu.ops.conv_pallas import conv3x3_bnrelu_bhcw
+
+    rng = np.random.RandomState(2)
+    B, H, Ci, W, Co = 2, 16, 16, 200, 24
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.3 * rng.randn(Ci).astype(np.float32))
+    b = jnp.asarray(0.2 * rng.randn(Ci).astype(np.float32))
+    gy = jnp.asarray(rng.randn(B, H, Co, W).astype(np.float32))
+
+    def oracle(x, w, s, b):
+        a = jnp.maximum(x * s[None, None, :, None] + b[None, None, :, None], 0)
+        return _oracle(a, w)
+
+    y0 = oracle(x, w, s, b)
+    y1 = conv3x3_bnrelu_bhcw(x, w, s, b, None, True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-4)
+
+    f0 = lambda *a: jnp.sum(oracle(*a) * gy)
+    f1 = lambda *a: jnp.sum(conv3x3_bnrelu_bhcw(*a, None, True) * gy)
+    g0 = jax.grad(f0, (0, 1, 2, 3))(x, w, s, b)
+    g1 = jax.grad(f1, (0, 1, 2, 3))(x, w, s, b)
+    for a0, a1 in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a0), rtol=1e-4, atol=2e-3
+        )
+
+
+def test_pending_bn_chain_matches_materialized():
+    # A ConvNormRelu chain with emit_pending must equal the plain chain
+    # (same params; CPU fallback materializes, so this checks the module
+    # plumbing and the f32 affine fold).
+    from rangedet_tpu.models.layers import ConvNormRelu, materialize
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 12, 64).astype(np.float32))
+
+    import flax.linen as nn
+
+    class Chain(nn.Module):
+        pend: bool
+
+        @nn.compact
+        def __call__(self, h):
+            for i in range(3):
+                h = ConvNormRelu(
+                    16, dtype=jnp.float32, use_running_average=False,
+                    layout="bhcw", emit_pending=self.pend, name=f"c{i}",
+                )(h)
+            return materialize(h)
+
+    v = Chain(pend=True).init(jax.random.PRNGKey(0), x)
+    y_pend, _ = Chain(pend=True).apply(v, x, mutable=["batch_stats"])
+    y_plain, _ = Chain(pend=False).apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y_pend), np.asarray(y_plain), rtol=1e-5, atol=1e-5
+    )
