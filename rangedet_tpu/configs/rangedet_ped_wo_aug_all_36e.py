@@ -8,7 +8,7 @@ def get_config(is_train: bool) -> RangeDetConfig:
     return RangeDetConfig(
         name="rangedet_ped_wo_aug_all_36e",
         is_train=is_train,
-        layout="bhcw" if is_train else "nhwc",
+        layout="bhcw",  # bhcw fwd is 1.45x nhwc at eval B=4 too (BENCH.md round 2)
         batch_image=2 if is_train else 1,
         label_set=(2,),
         class_names=("ped",),
