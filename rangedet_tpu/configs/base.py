@@ -100,6 +100,12 @@ class RangeDetConfig:
     min_score: Dict[str, float] = dataclasses.field(
         default_factory=lambda: {"veh": 0.5, "ped": 0.4, "cyc": 0.3}
     )
+    # in-training validation matches the WOD metric definition the reference
+    # reports against (README.md:73-76): 3D IoU, veh 0.7 / ped 0.5 / cyc 0.5
+    eval_iou_thresh: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {"veh": 0.7, "ped": 0.5, "cyc": 0.5}
+    )
+    eval_iou_mode: str = "3d"
     # candidate selection: "argsort" (exact, full sort — the v5e TopkEmitter
     # crashes on lax.top_k/approx_max_k over the fused 297k score vector),
     # "approx" (lax.approx_max_k), or "exact" (lax.top_k)

@@ -15,7 +15,7 @@ def evaluate(
     model,
     cfg,
     frames: Iterable,
-    iou_thresh: float = 0.7,
+    iou_thresh=0.7,
     mode: str = "bev",
     max_frames: int = 0,
     metric: str = "ap",
@@ -23,6 +23,9 @@ def evaluate(
     """frames: iterable of (batch_dict, gt_by_class) where batch_dict is a
     single-frame (B=1) input batch and gt_by_class maps class name -> either
     (M, 7) csa boxes or a dict {gt_csa, gt_num_points?, gt_difficulty?}.
+
+    iou_thresh: a float, or a {class: float} map (the WOD per-class
+    thresholds, cfg.eval_iou_thresh) — unknown classes fall back to 0.7.
 
     metric="ap" returns {class: {ap, recall, precision}};
     metric="waymo" returns {class: {L1: {ap, aph, ...}, L2: {...}}} — the
@@ -60,12 +63,17 @@ def evaluate(
         if max_frames and n >= max_frames:
             break
 
+    def thresh(name):
+        if isinstance(iou_thresh, dict):
+            return iou_thresh.get(name, 0.7)
+        return iou_thresh
+
     if metric == "waymo":
         return {
-            name: waymo_metrics(fr, iou_thresh=iou_thresh, mode=mode)
+            name: waymo_metrics(fr, iou_thresh=thresh(name), mode=mode)
             for name, fr in per_class.items()
         }
     return {
-        name: average_precision(fr, iou_thresh=iou_thresh, mode=mode)
+        name: average_precision(fr, iou_thresh=thresh(name), mode=mode)
         for name, fr in per_class.items()
     }

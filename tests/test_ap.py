@@ -119,3 +119,45 @@ def test_waymo_l1_l2_split(rng):
                     gt_num_points=pts)]
     res3 = waymo_metrics(frames3, iou_thresh=0.7, mode="bev")
     assert res3["L2"]["ap"] > 0.99
+
+
+def test_evaluate_wod_operating_point(rng):
+    # run_validation's defaults (tools/train.py): per-class 3D-IoU
+    # thresholds through the in-process evaluator on the fused eval path
+    import jax
+    import jax.numpy as jnp
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tiny import tiny_config
+    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.eval.evaluator import evaluate
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.train.schedule import build_optimizer
+    from rangedet_tpu.train.state import create_train_state
+
+    cfg = tiny_config(is_train=False)
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, 10)
+    b0 = make_batch(cfg, 1, seed=1, num_boxes=4)
+    state = create_train_state(
+        model, cfg, tx, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in b0.items()},
+    )
+
+    def frames():
+        for i in range(2):
+            b = make_batch(cfg, 1, seed=100 + i, num_boxes=4)
+            gt = b["gt_csa"][0][b["gt_valid"][0] > 0]
+            npts = np.full((len(gt),), 10)
+            yield b, {cfg.class_names[0]: dict(gt_csa=gt, gt_num_points=npts)}
+
+    res = evaluate(
+        state, model, cfg, frames(),
+        iou_thresh=cfg.eval_iou_thresh, mode=cfg.eval_iou_mode,
+        metric="waymo",
+    )
+    m = res[cfg.class_names[0]]
+    assert set(m) == {"L1", "L2"}
+    for lvl in ("L1", "L2"):
+        assert 0.0 <= m[lvl]["ap"] <= 1.0 and 0.0 <= m[lvl]["aph"] <= m[lvl]["ap"] + 1e-9

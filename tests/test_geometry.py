@@ -128,6 +128,54 @@ def test_iou_matrix_and_topk_prefilter(rng):
     np.testing.assert_allclose(dense, topk, atol=1e-5)
 
 
+def test_iou_topk24_exact_at_frame_scale(rng):
+    # The shipped iou_topk_gt=24 prefilter must be *exact* at real frame
+    # density: a full 200-GT scene (the padded GT capacity,
+    # core/input.py:232-273) with vehicle-sized, non-overlapping GT — the
+    # worst case for the 24-nearest cut is many GT crowding one proposal,
+    # bounded here by physical box extents exactly as on real WOD frames.
+    m = 200
+    gx, gy = np.meshgrid(np.arange(20), np.arange(10))
+    centers = np.stack([gx.ravel() * 7.0, gy.ravel() * 4.0], axis=1)
+    csa_g = np.concatenate(
+        [
+            centers + rng.uniform(-0.8, 0.8, (m, 2)),
+            np.zeros((m, 1)),
+            rng.uniform(3.5, 5.5, (m, 1)),  # l
+            rng.uniform(1.6, 2.2, (m, 1)),  # w
+            rng.uniform(1.4, 1.9, (m, 1)),  # h
+            rng.uniform(-np.pi, np.pi, (m, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    # proposals: noisy copies of GT (the decode output near convergence)
+    # plus uniform scatter across the scene (early training)
+    reps = 20
+    noisy = np.tile(csa_g, (reps, 1))
+    noisy[:, :2] += rng.uniform(-2.5, 2.5, (m * reps, 2))
+    noisy[:, 6] += rng.uniform(-0.5, 0.5, m * reps)
+    scatter = np.concatenate(
+        [
+            rng.uniform(-5, 140, (4096, 1)),
+            rng.uniform(-5, 40, (4096, 1)),
+            np.zeros((4096, 1)),
+            rng.uniform(3.0, 6.0, (4096, 1)),
+            rng.uniform(1.5, 2.5, (4096, 1)),
+            rng.uniform(1.4, 1.9, (4096, 1)),
+            rng.uniform(-np.pi, np.pi, (4096, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    csa_p = np.concatenate([noisy, scatter]).astype(np.float32)  # 8096
+
+    cp = boxes.csa_to_corners_bev(jnp.asarray(csa_p))
+    cg = boxes.csa_to_corners_bev(jnp.asarray(csa_g))
+    dense = np.asarray(rotated_iou.max_iou_vs_gt(cp, cg, topk_gt=0, chunk=1024))
+    topk = np.asarray(rotated_iou.max_iou_vs_gt(cp, cg, topk_gt=24, chunk=1024))
+    assert (dense > 0.1).sum() > 2000, "setup must be overlap-dense"
+    np.testing.assert_allclose(topk, dense, atol=1e-5)
+
+
 def test_iou_3d_consistency():
     a = jnp.asarray([[0.0, 0, 0, 4, 2, 2, 0.2]], jnp.float32)
     got_same = np.asarray(rotated_iou.iou_3d_csa(a, a))

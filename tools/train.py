@@ -215,7 +215,13 @@ def run_validation(state, model, cfg, args, epoch, n_frames=8):
                 gt = np.asarray(rec.get("gt_bbox_csa", np.zeros((0, 7))))
                 yield b, {cfg.class_names[0]: gt}
 
-    return evaluate(state, model, cfg_t, frames(), iou_thresh=0.5, mode="bev")
+    # WOD-standard operating point (veh 0.7 / ped 0.5 / cyc 0.5 at 3D IoU) —
+    # the metric definition behind the reference's headline table
+    # (README.md:73-76, create_prediction_bin_3d.py:26-60)
+    return evaluate(
+        state, model, cfg_t, frames(),
+        iou_thresh=cfg.eval_iou_thresh, mode=cfg.eval_iou_mode,
+    )
 
 
 def make_sample(cfg, global_batch):
