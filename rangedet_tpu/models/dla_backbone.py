@@ -157,6 +157,7 @@ class BasicBlock(nn.Module):
                 name="conv1",
             )(x)
 
+        sums2 = None
         if planar:
             yc = y.y if isinstance(y, PendingBN) else y
             k2 = self.param(
@@ -171,9 +172,10 @@ class BasicBlock(nn.Module):
             else:
                 if not isinstance(y, PendingBN):
                     y = y.astype(self.dtype)
-                y = conv3x3_bhcw_consume(
+                y, sums2 = conv3x3_bhcw_consume(
                     y, k2.astype(self.dtype),
                     self.strides[1], self.use_pallas_conv,
+                    want_stats=train and not self.is_initializing(),
                 )
         else:
             y = nn.Conv(
@@ -183,7 +185,7 @@ class BasicBlock(nn.Module):
             )(y)
         y = BatchNorm(
             ura, self.dtype, channel_axis=ch_ax, name="bn2"
-        )(y)
+        )(y, sums2)
 
         if self.proj:
             if planar:

@@ -17,7 +17,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import _pick_rows_per_step, conv3x3_bnrelu_bhcw
+from ..ops.conv_pallas import (
+    _pick_rows_per_step,
+    conv3x3_bnrelu_bhcw,
+    conv3x3_bnrelu_stats_bhcw,
+    conv3x3_stats_bhcw,
+)
 from ..ops.conv_pallas import conv3x3_bhcw as conv3x3_pallas
 
 Dtype = Any
@@ -76,7 +81,10 @@ class BatchNorm(nn.Module):
     affine_out: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sums=None):
+        """sums: optional per-channel (Σx, Σx²) computed by the producer
+        kernel (ops/conv_pallas.py stats outputs) — the statistics pass over
+        the tensor is then skipped entirely."""
         ch_axis = self.channel_axis % x.ndim
         C = x.shape[ch_axis]
         ra_mean = self.variable(
@@ -92,9 +100,16 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if sums is not None:
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                mean = sums[0] / n
+                var = sums[1] / n - jnp.square(mean)
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
@@ -227,21 +242,37 @@ def conv3x3_bhcw_best(
 
 def conv3x3_bhcw_consume(
     x: MaybePending, kernel: jnp.ndarray, stride_w: int = 1,
-    use_pallas: bool = True,
-) -> jnp.ndarray:
+    use_pallas: bool = True, want_stats: bool = False,
+):
     """conv3x3_bhcw_best that additionally fuses a PendingBN input's BN
-    apply + relu into the Pallas kernel ingest when available."""
+    apply + relu into the Pallas kernel ingest when available, and (with
+    ``want_stats``) accumulates this conv's BatchNorm sums in-kernel.
+
+    Returns (y, sums): sums is (Σy, Σy²) per channel, or None when the
+    fallback path ran (the caller's BN then computes stats itself)."""
+    pallas_ok = (
+        stride_w == 1
+        and use_pallas
+        and jax.default_backend() == "tpu"
+    )
     if isinstance(x, PendingBN):
-        if (
-            stride_w == 1
-            and use_pallas
-            and jax.default_backend() == "tpu"
-            and x.y.shape[1] % _pick_rows_per_step(x.y.shape[2], x.y.shape[1])
-            == 0
-        ):
-            return conv3x3_bnrelu_bhcw(x.y, kernel, x.scale, x.bias)
+        h, c = x.y.shape[1], x.y.shape[2]
+        if pallas_ok and h % _pick_rows_per_step(c, h) == 0:
+            if want_stats:
+                y, s1, s2 = conv3x3_bnrelu_stats_bhcw(
+                    x.y, kernel, x.scale, x.bias
+                )
+                return y, (s1, s2)
+            return conv3x3_bnrelu_bhcw(x.y, kernel, x.scale, x.bias), None
         x = x.materialize()
-    return conv3x3_bhcw_best(x, kernel, stride_w, use_pallas)
+    if (
+        pallas_ok
+        and want_stats
+        and x.shape[1] % _pick_rows_per_step(x.shape[2], x.shape[1]) == 0
+    ):
+        y, s1, s2 = conv3x3_stats_bhcw(x, kernel)
+        return y, (s1, s2)
+    return conv3x3_bhcw_best(x, kernel, stride_w, use_pallas), None
 
 
 def conv1x1_bhcw(xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
@@ -371,6 +402,7 @@ class ConvNormRelu(nn.Module):
             if isinstance(x, PendingBN) and not fused_in:
                 x = x.materialize()
             Ci = (x.y if fused_in else x).shape[ch_ax]
+            sums = None
             if self.kernel == (1, 1):
                 if fused_in:
                     x = x.materialize()
@@ -394,15 +426,17 @@ class ConvNormRelu(nn.Module):
                 else:
                     if not fused_in:
                         x = x.astype(self.dtype)
-                    x = conv3x3_bhcw_consume(
+                    x, sums = conv3x3_bhcw_consume(
                         x, k.astype(self.dtype), self.strides[1],
                         self.use_pallas,
+                        want_stats=not self.use_running_average
+                        and not self.is_initializing(),
                     )
             out = BatchNorm(
                 self.use_running_average, self.dtype, channel_axis=ch_ax,
                 affine_out=self.emit_pending and self.layout == "bhcw",
                 name="bn",
-            )(x)
+            )(x, sums)
             if isinstance(out, PendingBN):
                 return out
             return nn.relu(out)

@@ -57,7 +57,7 @@ def _ingest(rows, s_ref, b_ref):
     return jnp.maximum(rf, 0.0).astype(rows.dtype)
 
 
-def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, out_dtype):
+def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, out_dtype):
     refs = list(refs)
     x_ref, w_ref = refs[:2]
     refs = refs[2:]
@@ -66,9 +66,12 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, out_dtype):
         s_ref, b_ref = refs[:2]
         refs = refs[2:]
     xo_ref = s2_ref = b2_ref = dsc_ref = db_ref = None
+    sum_ref = sq_ref = None
     if bwd_affine:
         xo_ref, s2_ref, b2_ref = refs[:3]
         y_ref, dsc_ref, db_ref, slab = refs[3:]
+    elif stats:
+        y_ref, sum_ref, sq_ref, slab = refs
     else:
         y_ref, slab = refs
     g = pl.program_id(1)
@@ -85,6 +88,13 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, out_dtype):
         def _():
             dsc_ref[...] = jnp.zeros_like(dsc_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
+
+    if stats:
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0, g == 0))
+        def _():
+            sum_ref[...] = jnp.zeros_like(sum_ref)
+            sq_ref[...] = jnp.zeros_like(sq_ref)
 
     @pl.when(g > 0)
     def _():
@@ -144,7 +154,14 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, out_dtype):
                 dsc_ref[...] += jnp.sum(dz * xf, axis=1, keepdims=True)
                 db_ref[...] += jnp.sum(dz, axis=1, keepdims=True)
             else:
-                y_ref[0, r] = acc.astype(out_dtype)
+                yb = acc.astype(out_dtype)
+                y_ref[0, r] = yb
+                if stats:
+                    # per-channel BatchNorm sums of the *stored* (rounded)
+                    # output — bit-matching stats computed from y in XLA
+                    yf = yb.astype(jnp.float32)
+                    sum_ref[...] += jnp.sum(yf, axis=1, keepdims=True)
+                    sq_ref[...] += jnp.sum(yf * yf, axis=1, keepdims=True)
 
     # ingest the current group for the next step (reads before writes)
     prev_last = slab[R]
@@ -163,14 +180,19 @@ def _affine_specs_operands(in_specs, operands, in_scale, in_bias, Ci):
 
 
 def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
-                 in_scale=None, in_bias=None, bwd_affine=None):
+                 in_scale=None, in_bias=None, bwd_affine=None, stats=False):
     """bwd_affine (dgrad-of-fused use only): a tuple (xo, scale, bias) of the
     fused op's raw input and producer fold; the kernel then returns
     (dx, dscale, dbias) with the relu/affine backward fused into the
-    epilogue instead of the plain convolution output."""
+    epilogue instead of the plain convolution output.
+
+    stats: additionally return per-output-channel BatchNorm sums
+    (sum y, sum y^2) accumulated across the grid — (y, s1, s2) — so the BN
+    of this conv needs no separate stats pass over HBM."""
     B, H, Ci, W = x.shape
     Co = w.shape[-1]
     assert w.shape == (3, 3, Ci, Co), w.shape
+    assert not (stats and bwd_affine is not None)
     R = rows_per_step or _pick_rows_per_step(Ci, H)
     assert H % R == 0, (H, R)
     G = H // R
@@ -182,7 +204,7 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     kern = functools.partial(
         _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
         affine=in_scale is not None, bwd_affine=bwd_affine is not None,
-        out_dtype=x.dtype
+        stats=stats, out_dtype=x.dtype
     )
     in_specs = [
         pl.BlockSpec(
@@ -205,6 +227,7 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     )
     out_specs = out_spec
     out_shape = jax.ShapeDtypeStruct((B, H, Co, W), x.dtype)
+    vec = pl.BlockSpec((Co, 1), lambda b, g: (0, 0), memory_space=pltpu.VMEM)
     if bwd_affine is not None:
         xo, scale, bias = bwd_affine
         in_specs.append(out_spec)  # raw x, aligned to the output rows
@@ -212,8 +235,13 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
         in_specs, operands = _affine_specs_operands(
             in_specs, operands, scale, bias, Co
         )
-        vec = pl.BlockSpec((Co, 1), lambda b, g: (0, 0),
-                           memory_space=pltpu.VMEM)
+        out_specs = (out_spec, vec, vec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((Co, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Co, 1), jnp.float32),
+        )
+    elif stats:
         out_specs = (out_spec, vec, vec)
         out_shape = (
             out_shape,
@@ -409,3 +437,74 @@ def _bnrelu_vjp_bwd(rows_per_step, interpret, res, gy):
 
 
 conv3x3_bnrelu_bhcw.defvjp(_bnrelu_vjp_fwd, _bnrelu_vjp_bwd)
+
+
+def _stats_adjust(gy, y, gs1, gs2):
+    """Fold the stats-output cotangents back into gy: s1 = Σy, s2 = Σy² ⇒
+    gy_eff = gy + gs1 + 2·y·gs2 — one fused XLA elementwise pass (replaces
+    the BN-statistics backward correction pass over the same tensors)."""
+    yf = y.astype(jnp.float32)
+    g = gy.astype(jnp.float32)
+    g = g + gs1[None, None, :, None] + 2.0 * yf * gs2[None, None, :, None]
+    return g.astype(gy.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_stats_bhcw(x, w, rows_per_step=None, interpret=False):
+    """conv3x3_bhcw that also returns the per-channel BatchNorm sums
+    (y, Σy, Σy²) accumulated inside the kernel — the consumer BN needs no
+    separate stats pass over the output tensor."""
+    y, s1, s2 = _conv3x3_fwd(x, w, rows_per_step, interpret, stats=True)
+    return y, s1[:, 0], s2[:, 0]
+
+
+def _stats_vjp_fwd(x, w, rows_per_step, interpret):
+    y, s1, s2 = _conv3x3_fwd(x, w, rows_per_step, interpret, stats=True)
+    return (y, s1[:, 0], s2[:, 0]), (x, w, y)
+
+
+def _stats_vjp_bwd(rows_per_step, interpret, res, ct):
+    x, w, y = res
+    gy, gs1, gs2 = ct
+    gy = _stats_adjust(gy, y, gs1, gs2)
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_fwd(gy, w_flip, rows_per_step, interpret)
+    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_stats_bhcw.defvjp(_stats_vjp_fwd, _stats_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_bnrelu_stats_bhcw(x, w, scale, bias, rows_per_step=None,
+                              interpret=False):
+    """conv3x3_bnrelu_bhcw + in-kernel output stats: the full fused
+    conv-BN-relu chain link — producer BN applied on ingest, this conv's
+    BN sums accumulated on the way out. Returns (y, Σy, Σy²)."""
+    y, s1, s2 = _conv3x3_fwd(
+        x, w, rows_per_step, interpret, scale, bias, stats=True
+    )
+    return y, s1[:, 0], s2[:, 0]
+
+
+def _bnrelu_stats_vjp_fwd(x, w, scale, bias, rows_per_step, interpret):
+    y, s1, s2 = _conv3x3_fwd(
+        x, w, rows_per_step, interpret, scale, bias, stats=True
+    )
+    return (y, s1[:, 0], s2[:, 0]), (x, w, scale, bias, y)
+
+
+def _bnrelu_stats_vjp_bwd(rows_per_step, interpret, res, ct):
+    x, w, scale, bias, y = res
+    gy, gs1, gs2 = ct
+    gy = _stats_adjust(gy, y, gs1, gs2)
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx, dscale, dbias = _conv3x3_fwd(
+        gy, w_flip, rows_per_step, interpret, bwd_affine=(x, scale, bias)
+    )
+    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret, scale, bias)
+    return dx, dw.astype(w.dtype), dscale[:, 0], dbias[:, 0]
+
+
+conv3x3_bnrelu_stats_bhcw.defvjp(_bnrelu_stats_vjp_fwd, _bnrelu_stats_vjp_bwd)

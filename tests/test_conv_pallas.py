@@ -181,3 +181,53 @@ def test_pending_bn_chain_matches_materialized():
     np.testing.assert_allclose(
         np.asarray(y_pend), np.asarray(y_plain), rtol=1e-5, atol=1e-5
     )
+
+
+def test_conv3x3_stats_variants_exact():
+    # in-kernel BN sums (y, sum, sumsq) + their gradient flow (the stats
+    # cotangent folds back into gy: conv_pallas._stats_adjust)
+    from rangedet_tpu.ops.conv_pallas import (
+        conv3x3_bnrelu_stats_bhcw,
+        conv3x3_stats_bhcw,
+    )
+
+    rng = np.random.RandomState(4)
+    B, H, Ci, W, Co = 2, 16, 16, 200, 24
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.3 * rng.randn(Ci).astype(np.float32))
+    b = jnp.asarray(0.2 * rng.randn(Ci).astype(np.float32))
+
+    def oracle_plain(x, w):
+        y = _oracle(x, w)
+        return y, jnp.sum(y, axis=(0, 1, 3)), jnp.sum(y * y, axis=(0, 1, 3))
+
+    def oracle_fused(x, w, s, b):
+        a = jnp.maximum(x * s[None, None, :, None] + b[None, None, :, None], 0)
+        return oracle_plain(a, w)
+
+    for got, want in (
+        (conv3x3_stats_bhcw(x, w, None, True), oracle_plain(x, w)),
+        (conv3x3_bnrelu_stats_bhcw(x, w, s, b, None, True),
+         oracle_fused(x, w, s, b)),
+    ):
+        for g, o in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(o), rtol=1e-4, atol=1e-3
+            )
+
+    # gradients: a loss touching y AND the stats outputs
+    def loss_o(x, w, s, b):
+        y, s1, s2 = oracle_fused(x, w, s, b)
+        return jnp.sum(y**2) * 1e-2 + jnp.sum(s1 * s2) * 1e-4
+
+    def loss_k(x, w, s, b):
+        y, s1, s2 = conv3x3_bnrelu_stats_bhcw(x, w, s, b, None, True)
+        return jnp.sum(y**2) * 1e-2 + jnp.sum(s1 * s2) * 1e-4
+
+    g0 = jax.grad(loss_o, (0, 1, 2, 3))(x, w, s, b)
+    g1 = jax.grad(loss_k, (0, 1, 2, 3))(x, w, s, b)
+    for a0, a1 in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a0), rtol=2e-3, atol=5e-3
+        )
