@@ -151,7 +151,12 @@ class RangeDetConfig:
 
     # ------------------------------------------------------------- parallel
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 4, "model": 2}
-    sync_bn: bool = True  # GSPMD global BN; False = per-replica stats
+    sync_bn: bool = True  # global BN; False = per-replica ("localbn") stats
+    # set by the trainer for the shard_map multi-chip path: BatchNorm psums
+    # its (sum, sum-sq, count) over this mesh axis — exact sync-BN under
+    # manual sharding, where the Pallas kernels keep running per-shard
+    # (pallas_call cannot ride GSPMD's auto partitioner)
+    bn_sync_axis: Optional[str] = None
 
     # ------------------------------------------------------------- io
     experiment_dir: str = "experiments"
@@ -180,6 +185,7 @@ class RangeDetConfig:
             remat=self.remat,
             remat_meta=self.remat_meta,
             layout=self.layout,
+            bn_sync_axis=self.bn_sync_axis,
         )
 
     def replace(self, **kw) -> "RangeDetConfig":

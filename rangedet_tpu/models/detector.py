@@ -49,6 +49,7 @@ class RangeDet(nn.Module):
     remat: bool = False
     remat_meta: bool = True
     layout: str = "nhwc"
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
@@ -70,6 +71,7 @@ class RangeDet(nn.Module):
             remat=self.remat,
             remat_meta=self.remat_meta,
             layout=self.layout,
+            bn_sync_axis=self.bn_sync_axis,
             name="backbone",
         )(input_data, coords, train)
         return RangeRpnHead(
@@ -82,6 +84,7 @@ class RangeDet(nn.Module):
             dtype=self.dtype,
             layout=self.layout,
             use_pallas_conv=self.use_pallas_conv,
+            bn_sync_axis=self.bn_sync_axis,
             name="head",
         )(feats, train)
 
@@ -209,9 +212,11 @@ def compute_losses(
     reg_deltas: List[jnp.ndarray],
     targets: Dict[str, jnp.ndarray],
     cfg,
+    sync_axis=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + per-level metrics, mirroring get_fpn_loss
-    (builder.py:268-348) with weights cls ×10, reg ×8 (config loss block)."""
+    (builder.py:268-348) with weights cls ×10, reg ×8 (config loss block).
+    ``sync_axis``: global-batch loss normalization inside shard_map."""
     iou_t = iou_targets_per_level(reg_deltas, targets, cfg)
 
     metrics = {}
@@ -223,6 +228,7 @@ def compute_losses(
             targets[f"mask_s{s}"],
             alpha=cfg.vfl_alpha,
             gamma=cfg.vfl_gamma,
+            sync_axis=sync_axis,
         )
         reg_loss = L.normalized_reg_loss(
             reg_deltas[level],
@@ -231,6 +237,7 @@ def compute_losses(
             targets[f"reg_norm_weight_s{s}"],
             smooth_l1_scalar=cfg.smooth_l1_scalar,
             l1=cfg.l1_loss,
+            sync_axis=sync_axis,
         )
         metrics[f"cls_loss_s{s}"] = cls_loss
         metrics[f"reg_loss_s{s}"] = reg_loss

@@ -50,11 +50,13 @@ class BhcwMetaAggBN(nn.Module):
 
     use_running_average: bool
     dtype: Any
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
         return BatchNorm(
-            self.use_running_average, self.dtype, channel_axis=2, name="bn"
+            self.use_running_average, self.dtype, channel_axis=2,
+            sync_axis=self.bn_sync_axis, name="bn",
         )(x)
 
 
@@ -73,6 +75,7 @@ class MetaBlock(nn.Module):
     # ~7 ms/step in pure layout copies of the 9C tensor). Other layouts take
     # (B, H, W, C) input (BasicBlock transposes for "planar").
     layout: str = "nhwc"
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x, coords, train: bool = True):
@@ -86,14 +89,17 @@ class MetaBlock(nn.Module):
             name="meta_kernel",
         )(x, coords)
         mk = BatchNorm(
-            ura, self.dtype, channel_axis=2 if bhcw else -1, name="meta_bn"
+            ura, self.dtype, channel_axis=2 if bhcw else -1,
+            sync_axis=self.bn_sync_axis, name="meta_bn",
         )(mk)
         mk = nn.relu(mk)
         if bhcw and not self.is_initializing():
             # same nn.Conv("conv")+BN("bn") params as nhwc, applied natively
             agg = self.variables["params"]["meta_agg"]["conv"]["kernel"]
             y = conv1x1_bhcw(mk, agg[0, 0].astype(self.dtype))
-            y = BhcwMetaAggBN(ura, self.dtype, name="meta_agg")(y)
+            y = BhcwMetaAggBN(
+                ura, self.dtype, self.bn_sync_axis, name="meta_agg"
+            )(y)
             return nn.relu(y)
         if bhcw:  # init: create the identical nhwc param tree
             mk = jnp.transpose(mk, (0, 1, 3, 2))
@@ -104,7 +110,8 @@ class MetaBlock(nn.Module):
             return jnp.transpose(out, (0, 1, 3, 2))
         return ConvNormRelu(
             self.features, kernel=(1, 1), dtype=self.dtype,
-            use_running_average=ura, name="meta_agg",
+            use_running_average=ura, bn_sync_axis=self.bn_sync_axis,
+            name="meta_agg",
         )(mk)
 
 
@@ -122,6 +129,7 @@ class BasicBlock(nn.Module):
     use_pallas_conv: bool = True
     remat_meta: bool = True
     layout: str = "nhwc"
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -144,6 +152,7 @@ class BasicBlock(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_meta,
                 layout="bhcw" if self.layout == "bhcw" else "nhwc",
+                bn_sync_axis=self.bn_sync_axis,
                 name="meta_block",
             )(mk_in, coords, train)
             if self.layout == "planar":
@@ -154,6 +163,7 @@ class BasicBlock(nn.Module):
                 layout=self.layout, use_pallas=self.use_pallas_conv,
                 # bhcw: conv1's BN apply + relu fuses into conv2's ingest
                 emit_pending=self.layout == "bhcw",
+                bn_sync_axis=self.bn_sync_axis,
                 name="conv1",
             )(x)
 
@@ -184,7 +194,8 @@ class BasicBlock(nn.Module):
                 name="conv2",
             )(y)
         y = BatchNorm(
-            ura, self.dtype, channel_axis=ch_ax, name="bn2"
+            ura, self.dtype, channel_axis=ch_ax,
+            sync_axis=self.bn_sync_axis, name="bn2",
         )(y, sums2)
 
         if self.proj:
@@ -206,7 +217,8 @@ class BasicBlock(nn.Module):
                     name="sc_conv",
                 )(x)
             sc = BatchNorm(
-                ura, self.dtype, channel_axis=ch_ax, name="sc_bn"
+                ura, self.dtype, channel_axis=ch_ax,
+                sync_axis=self.bn_sync_axis, name="sc_bn",
             )(sc)
         else:
             sc = x
@@ -227,6 +239,7 @@ class ResStage(nn.Module):
     use_pallas_conv: bool = True
     remat_meta: bool = True
     layout: str = "nhwc"
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -246,6 +259,7 @@ class ResStage(nn.Module):
                 use_pallas_conv=self.use_pallas_conv,
                 remat_meta=self.remat_meta,
                 layout=self.layout,
+                bn_sync_axis=self.bn_sync_axis,
                 name=unit_name,
             )(x, coords, train)
         return x
@@ -269,6 +283,7 @@ class DLABackbone(nn.Module):
     # (utils/memonger_v2.py:172-273; off in shipped configs, config:169)
     remat: bool = False
     layout: str = "nhwc"  # "planar": internal (B, C, H, W), see layers.py
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, data, coords, train: bool = True):
@@ -298,6 +313,7 @@ class DLABackbone(nn.Module):
                 use_pallas_conv=self.use_pallas_conv,
                 remat_meta=self.remat_meta,
                 layout=self.layout,
+                bn_sync_axis=self.bn_sync_axis,
                 name=name,
             )(x, coords, train)
 
@@ -305,6 +321,7 @@ class DLABackbone(nn.Module):
             up = DeconvNormRelu(
                 nf[name], deconv_kernel, deconv_strides, dtype=self.dtype,
                 use_running_average=not train, layout=self.layout,
+                bn_sync_axis=self.bn_sync_axis,
                 name=f"{name}_deconv",
             )(x_up)
             return res(name, x_const + up, (1, 1))

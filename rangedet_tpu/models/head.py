@@ -33,6 +33,7 @@ class RangeRpnHead(nn.Module):
     dtype: Any = jnp.bfloat16
     layout: str = "nhwc"
     use_pallas_conv: bool = True
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(
@@ -61,6 +62,7 @@ class RangeRpnHead(nn.Module):
                     layout=self.layout,
                     use_pallas=self.use_pallas_conv,
                     emit_pending=pend,
+                    bn_sync_axis=self.bn_sync_axis,
                     name=f"cls_conv_{i}_lvl_{level}",
                 )(cls_feat)
             for i in range(self.reg_conv_layers):
@@ -72,6 +74,7 @@ class RangeRpnHead(nn.Module):
                     layout=self.layout,
                     use_pallas=self.use_pallas_conv,
                     emit_pending=pend,
+                    bn_sync_axis=self.bn_sync_axis,
                     name=f"reg_conv_{i}_lvl_{level}",
                 )(reg_feat)
             cls_feat = materialize(cls_feat)

@@ -79,6 +79,10 @@ class BatchNorm(nn.Module):
     # affine_out: return PendingBN(x, fold_scale, fold_bias) instead of the
     # normalized tensor — the consumer fuses apply+relu (bhcw only)
     affine_out: bool = False
+    # sync_axis: psum the statistic sums over this (bound) mesh axis —
+    # exact sync-BN inside shard_map, where per-shard Pallas kernels run
+    # (GSPMD's implicit global reductions don't apply under manual sharding)
+    sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x, sums=None):
@@ -97,19 +101,30 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
         axes = tuple(a for a in range(x.ndim) if a != ch_axis)
+        sync = self.sync_axis if not self.is_initializing() else None
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
             if sums is not None:
-                n = 1
-                for a in axes:
-                    n *= x.shape[a]
-                mean = sums[0] / n
-                var = sums[1] / n - jnp.square(mean)
+                s1, s2 = sums
+            elif sync is not None:
+                xf = x.astype(jnp.float32)
+                s1 = jnp.sum(xf, axis=axes)
+                s2 = jnp.sum(jnp.square(xf), axis=axes)
             else:
                 xf = x.astype(jnp.float32)
                 mean = jnp.mean(xf, axis=axes)
                 var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if sums is not None or sync is not None:
+                if sync is not None:
+                    s1 = jax.lax.psum(s1, sync)
+                    s2 = jax.lax.psum(s2, sync)
+                    n = n * jax.lax.psum(1, sync)
+                mean = s1 / n
+                var = s2 / n - jnp.square(mean)
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
@@ -392,6 +407,7 @@ class ConvNormRelu(nn.Module):
     # relu into the consumer (a following ConvNormRelu fuses it on ingest;
     # XLA matmul consumers fuse the materialize for free)
     emit_pending: bool = False
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x: MaybePending):
@@ -435,6 +451,7 @@ class ConvNormRelu(nn.Module):
             out = BatchNorm(
                 self.use_running_average, self.dtype, channel_axis=ch_ax,
                 affine_out=self.emit_pending and self.layout == "bhcw",
+                sync_axis=self.bn_sync_axis,
                 name="bn",
             )(x, sums)
             if isinstance(out, PendingBN):
@@ -452,7 +469,10 @@ class ConvNormRelu(nn.Module):
             kernel_init=self.kernel_init,
             name="conv",
         )(x)
-        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        x = BatchNorm(
+            self.use_running_average, self.dtype,
+            sync_axis=self.bn_sync_axis, name="bn",
+        )(x)
         return nn.relu(x)
 
 
@@ -470,6 +490,7 @@ class DeconvNormRelu(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     layout: str = "nhwc"
+    bn_sync_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -486,7 +507,7 @@ class DeconvNormRelu(nn.Module):
             x = dc(x.astype(self.dtype), k.astype(self.dtype), self.strides[1])
             x = BatchNorm(
                 self.use_running_average, self.dtype, channel_axis=ch_ax,
-                name="bn",
+                sync_axis=self.bn_sync_axis, name="bn",
             )(x)
             return nn.relu(x)
         x = nn.ConvTranspose(
@@ -499,7 +520,10 @@ class DeconvNormRelu(nn.Module):
             param_dtype=jnp.float32,
             name="deconv",
         )(x)
-        x = BatchNorm(self.use_running_average, self.dtype, name="bn")(x)
+        x = BatchNorm(
+            self.use_running_average, self.dtype,
+            sync_axis=self.bn_sync_axis, name="bn",
+        )(x)
         return nn.relu(x)
 
 

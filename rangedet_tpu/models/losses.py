@@ -59,13 +59,22 @@ def vfl_cls_loss(
     valid_mask: jnp.ndarray,
     alpha: float = 1.0,
     gamma: float = 2.0,
+    sync_axis=None,
 ) -> jnp.ndarray:
     """Per-level classification loss (builder.py:350-379): masked VFL summed
-    and normalized by (#valid pixels + 1)."""
+    and normalized by (#valid pixels + 1). ``sync_axis``: psum numerator and
+    normalizer over the mesh axis — global-batch normalization inside
+    shard_map (matches the GSPMD step exactly)."""
     loss = varifocal_loss(cls_logit, jax.lax.stop_gradient(iou_target), alpha, gamma)
     mask = jax.lax.stop_gradient(valid_mask)
-    norm = jnp.sum(mask) + 1.0
-    return jnp.sum(loss * mask) / norm
+    num = jnp.sum(loss * mask)
+    den = jnp.sum(mask)
+    if sync_axis is not None:
+        # numerator stays LOCAL (each shard's grad is a clean partial of the
+        # global objective; the trailing psum of grads completes the sum);
+        # only the stop-gradient normalizer is made global
+        den = jax.lax.psum(den, sync_axis)
+    return num / (den + 1.0)
 
 
 def normalized_reg_loss(
@@ -75,12 +84,17 @@ def normalized_reg_loss(
     reg_norm_weight: jnp.ndarray,
     smooth_l1_scalar: float = 3.0,
     l1: bool = False,
+    sync_axis=None,
 ) -> jnp.ndarray:
     """Per-level regression loss (builder.py:381-422): per-dim weighted
-    smooth-L1, normalized by (sum of 1/N-points weights + 1)."""
+    smooth-L1, normalized by (sum of 1/N-points weights + 1); ``sync_axis``
+    as in vfl_cls_loss."""
     diff = reg_delta - jax.lax.stop_gradient(reg_target)
     loss = jnp.abs(diff) if l1 else smooth_l1(diff, smooth_l1_scalar)
     w = jax.lax.stop_gradient(reg_weight)
     nw = jax.lax.stop_gradient(reg_norm_weight)
-    norm = jnp.sum(nw) + 1.0
-    return jnp.sum(loss * w * nw) / norm
+    num = jnp.sum(loss * w * nw)
+    den = jnp.sum(nw)
+    if sync_axis is not None:
+        den = jax.lax.psum(den, sync_axis)  # see vfl_cls_loss
+    return num / (den + 1.0)

@@ -2,18 +2,22 @@
 Horovod data parallelism (tools/train.py:67-79,219-229,364-368 and
 scripts/horovodrun.sh).
 
-Design (GSPMD): one jitted train step; batch arrays sharded over the mesh
-"data" axis and (optionally) the range-image *width* over a "model" axis —
-the range image is 64×2656, so W is the only spatially shardable dim, and XLA
-inserts the conv halo exchanges automatically. Parameters are replicated; the
-gradient all-reduce over ICI is inserted by XLA from the shardings (no
-explicit collectives, no launcher — ``jax.distributed.initialize`` covers
-multi-host).
+Two multi-chip regimes (train_step.py:build_train_step_fn picks one):
 
-BatchNorm note: under GSPMD the BN statistics reductions become *global*
-(sync-BN semantics) — statistically stronger than the reference's per-GPU
-"localbn" + epoch-end aux allreduce (mxnext/complicate.py:55-66,
-utils/detection_module.py:1164-1170).
+* **data-only meshes — shard_map (manual sharding).** The Pallas kernels
+  require it (pallas_call cannot ride GSPMD's auto partitioner); each shard
+  runs the kernels on its local batch, gradients psum over ICI exactly like
+  Horovod's allreduce. BN statistics per cfg.sync_bn: in-model psum of the
+  per-shard (sum, sum-sq, count) — exact global sync-BN, proven equal to
+  the GSPMD step (tests/test_shard_map_bn.py) — or the reference's
+  per-replica localbn.
+* **width-sharded meshes (a "model" axis) — GSPMD.** The range image is
+  64×2656, so W is the only spatially shardable dim; XLA inserts the conv
+  halo exchanges automatically (Pallas kernels are switched off for this
+  shape — the XLA conv formulations partition fine).
+
+Parameters are replicated either way; ``jax.distributed.initialize`` covers
+multi-host.
 """
 from __future__ import annotations
 

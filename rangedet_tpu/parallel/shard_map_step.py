@@ -1,15 +1,20 @@
-"""shard_map train step with per-replica ("local") BatchNorm — the strict
-parity path for the reference's localbn + allreduced gradients.
+"""shard_map train step — the multi-chip data-parallel path.
 
-The default GSPMD step (train/train_step.py) lets XLA reduce BN statistics
-globally (sync-BN). The reference instead normalizes with *per-GPU* batch
-statistics (mxnext/complicate.py:55-66 "localbn") and only allreduces the
-running aux stats at epoch end (utils/detection_module.py:1164-1170). Under
-shard_map each data shard computes its own BN statistics (local semantics),
-gradients are psum-averaged over the "data" axis exactly like Horovod's
-DistributedOptimizer allreduce, and the running stats are pmean-synced every
-step (strictly more often than the reference's epoch-end sync — running stats
-only matter at eval).
+Manual (shard_map) sharding is what the Pallas kernels require: pallas_call
+cannot ride GSPMD's auto partitioner, so each data shard runs the kernels on
+its local batch and gradients are psum-averaged over the "data" axis exactly
+like Horovod's DistributedOptimizer allreduce (reference
+tools/train.py:67-79).
+
+BatchNorm semantics follow how the model was built:
+
+* ``cfg.bn_sync_axis="data"`` (cfg.sync_bn=True): every BatchNorm psums its
+  per-shard (sum, sum-sq, count) over the axis — exact global sync-BN, fed
+  by the conv kernels' in-kernel stat sums where available;
+* ``bn_sync_axis=None`` (cfg.sync_bn=False): per-shard statistics — the
+  reference's "localbn" (mxnext/complicate.py:55-66); running aux stats are
+  pmean-synced every step (the reference synced them at epoch end,
+  utils/detection_module.py:1164-1170 — they only matter at eval).
 """
 from __future__ import annotations
 
@@ -23,10 +28,18 @@ from ..models.detector import build_train_targets, compute_losses
 from .mesh import batch_spec
 
 
-def make_local_bn_train_step(model, cfg, mesh: Mesh):
-    """Returns train_step(state, batch) with batch sharded over "data" and
-    per-shard BN statistics. Jit-compatible; params replicated."""
+def make_shard_map_train_step(model, cfg, mesh: Mesh):
+    """Returns train_step(state, batch) with batch sharded over "data";
+    jit-compatible; params replicated. BN semantics per the model's
+    bn_sync_axis (see module docstring)."""
     from jax.experimental.shard_map import shard_map
+
+    # sync mode: the model was built with bn_sync_axis="data"; losses then
+    # also normalize over the GLOBAL batch (psum'd numerator/denominator),
+    # and each shard's grad is a partial of the same global objective — so
+    # gradients pSUM (not pmean). The result is bit-equivalent (up to psum
+    # reassociation) to the GSPMD sync-BN step (tests/test_shard_map_bn.py).
+    sync = getattr(model, "bn_sync_axis", None)
 
     def loss_fn(params, batch_stats, batch):
         targets = build_train_targets(batch, cfg)
@@ -37,16 +50,25 @@ def make_local_bn_train_step(model, cfg, mesh: Mesh):
             True,
             mutable=["batch_stats"],
         )
-        total, metrics = compute_losses(cls_logits, reg_deltas, targets, cfg)
+        total, metrics = compute_losses(
+            cls_logits, reg_deltas, targets, cfg, sync_axis=sync
+        )
         return total, (metrics, mut["batch_stats"])
 
     def per_shard(state, batch):
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
-        grads = jax.lax.pmean(grads, "data")
-        metrics = jax.lax.pmean(metrics, "data")
-        # epoch-end aux allreduce of the reference, done per step
+        if sync is not None:
+            # per-shard grads/metrics are partials of the global objective
+            # (local numerators over the psum'd normalizer) — sum them
+            grads = jax.lax.psum(grads, "data")
+            metrics = jax.lax.psum(metrics, "data")
+        else:
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+        # epoch-end aux allreduce of the reference, done per step (identical
+        # across shards already in sync mode)
         new_stats = jax.lax.pmean(new_stats, "data")
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, metrics
@@ -63,3 +85,8 @@ def make_local_bn_train_step(model, cfg, mesh: Mesh):
         return fn(state, batch)
 
     return train_step
+
+
+# back-compat name: the localbn parity path is this same step with a model
+# built without bn_sync_axis
+make_local_bn_train_step = make_shard_map_train_step

@@ -49,21 +49,45 @@ def make_train_step(model, cfg, tx=None):
 
 
 def build_train_step_fn(model, cfg, mesh=None):
-    """Select the train step by cfg.sync_bn: True → the GSPMD step above
-    (global/sync BN statistics); False → the shard_map per-replica ("local")
-    BN step, the strict parity path for the reference's localbn
-    (mxnext/complicate.py:55-66). Returns an unjitted step function tagged
-    with ``.bn_semantics`` ("sync" | "local")."""
-    if cfg.sync_bn:
+    """Select the train step for the mesh:
+
+    * single device (or no mesh): the plain jitted step above;
+    * multi-device, data(-only) sharding: the shard_map step — manual
+      sharding is required for the Pallas kernels (pallas_call cannot ride
+      GSPMD's auto partitioner), gradients psum like Horovod's allreduce,
+      and BN statistics follow cfg.sync_bn: True → in-model psum of the
+      stat sums (build the model with cfg.bn_sync_axis="data"); False → the
+      reference's per-replica "localbn" (mxnext/complicate.py:55-66);
+    * width-sharded ("model" axis) meshes: the GSPMD step — XLA inserts the
+      conv halo exchanges automatically (Pallas must be off; the trainer
+      clears use_pallas_* for this mesh shape).
+
+    Returns an unjitted step tagged with ``.bn_semantics``."""
+    multi = mesh is not None and mesh.size > 1
+    width_sharded = multi and mesh.shape.get("model", 1) > 1
+    if not multi or width_sharded:
+        if not cfg.sync_bn:
+            if not multi:
+                fn = make_train_step(model, cfg)
+                fn.bn_semantics = "local"  # single device: identical
+                return fn
+            raise ValueError(
+                "cfg.sync_bn=False (local BN) requires a data-only mesh"
+            )
         fn = make_train_step(model, cfg)
         fn.bn_semantics = "sync"
-    else:
-        if mesh is None:
-            raise ValueError("cfg.sync_bn=False (local BN) requires a mesh")
-        from ..parallel.shard_map_step import make_local_bn_train_step
+        return fn
+    from ..parallel.shard_map_step import make_shard_map_train_step
 
-        fn = make_local_bn_train_step(model, cfg, mesh)
-        fn.bn_semantics = "local"
+    want_axis = "data" if cfg.sync_bn else None
+    if getattr(model, "bn_sync_axis", None) != want_axis:
+        raise ValueError(
+            "shard_map multi-chip path: build the model from "
+            f"cfg.replace(bn_sync_axis={want_axis!r}) so BatchNorm "
+            "statistics match cfg.sync_bn (tools/train.py does this)"
+        )
+    fn = make_shard_map_train_step(model, cfg, mesh)
+    fn.bn_semantics = "sync" if want_axis else "local"
     return fn
 
 

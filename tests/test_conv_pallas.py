@@ -231,3 +231,31 @@ def test_conv3x3_stats_variants_exact():
         np.testing.assert_allclose(
             np.asarray(a1), np.asarray(a0), rtol=2e-3, atol=5e-3
         )
+
+
+def test_pallas_conv_under_shard_map():
+    # the multi-chip premise: pallas_call runs per-shard under manual
+    # (shard_map) sharding — batch sharded over "data", every shard
+    # convolving its local block (train_step.py:build_train_step_fn picks
+    # shard_map on data-only meshes precisely because GSPMD cannot
+    # partition the custom call)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rangedet_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(7)
+    B, H, Ci, W, Co = 4, 8, 8, 128, 8
+    x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    mesh = make_mesh({"data": 4})
+
+    def per_shard(x, w):
+        return conv3x3_bhcw(x, w, None, True)  # interpret=True on CPU
+
+    y = shard_map(
+        per_shard, mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=P("data"), check_rep=False,
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_oracle(x, w)),
+                               atol=1e-4)

@@ -145,18 +145,29 @@ def test_record_to_inputs_augment_hook(tmp_path, rng):
 
 
 def test_sync_bn_selects_step(rng):
-    """cfg.sync_bn dispatches between the GSPMD sync-BN step and the
-    shard_map local-BN parity step (train_step.build_train_step_fn)."""
+    """Multi-chip step selection (train_step.build_train_step_fn):
+    data-only meshes take the shard_map path (Pallas-compatible) with BN
+    semantics from cfg.sync_bn; width-sharded meshes take GSPMD."""
+    import pytest
+
     from rangedet_tpu.parallel import make_mesh
     from rangedet_tpu.train.train_step import build_train_step_fn
 
     cfg = tiny_config()
-    model = RangeDet(**cfg.model_kwargs())
     mesh = make_mesh({"data": 2})
-    assert build_train_step_fn(model, cfg, mesh).bn_semantics == "sync"
+    cfg_s = cfg.replace(bn_sync_axis="data")
+    model_s = RangeDet(**cfg_s.model_kwargs())
+    assert build_train_step_fn(model_s, cfg_s, mesh).bn_semantics == "sync"
+    model = RangeDet(**cfg.model_kwargs())
     assert build_train_step_fn(
         model, cfg.replace(sync_bn=False), mesh
     ).bn_semantics == "local"
+    # inconsistent model/cfg pairing must fail loudly
+    with pytest.raises(ValueError):
+        build_train_step_fn(model, cfg, mesh)
+    # width-sharded mesh -> GSPMD sync step
+    mesh_w = make_mesh({"data": 2, "model": 2})
+    assert build_train_step_fn(model, cfg, mesh_w).bn_semantics == "sync"
 
 
 def test_build_segment_body_with_fake_protos(tmp_path, rng):

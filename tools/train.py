@@ -91,6 +91,21 @@ def main():
         f"lr: {cfg.base_lr:.5f}"
     )
 
+    # ------------------------------------------------------- multi-chip path
+    # data-only meshes train under shard_map (manual sharding — required for
+    # the Pallas kernels; sync-BN via in-model psum of the stat sums).
+    # width ("model"-axis) sharding needs GSPMD's automatic conv halo
+    # exchange, where pallas_call cannot ride the partitioner — fall back to
+    # the XLA conv formulations there.
+    width_sharded = mesh.shape.get("model", 1) > 1
+    if mesh.size > 1 and not width_sharded:
+        cfg = cfg.replace(bn_sync_axis="data" if cfg.sync_bn else None)
+    elif width_sharded and (cfg.use_pallas_conv or cfg.use_pallas_meta):
+        logger.info(
+            "width-sharded mesh: disabling Pallas kernels (GSPMD path)"
+        )
+        cfg = cfg.replace(use_pallas_conv=False, use_pallas_meta=False)
+
     # ----------------------------------------------------------------- data
     if args.synthetic or not cfg.data_root:
         from rangedet_tpu.data.synthetic import make_batch
