@@ -57,7 +57,21 @@ def _ingest(rows, s_ref, b_ref):
     return jnp.maximum(rf, 0.0).astype(rows.dtype)
 
 
-def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, out_dtype):
+def _ingest_cot(rows, y_rows, c1_ref, c2_ref):
+    """Stats-cotangent fold on gy ingest: gy_eff = gy + gs1 + 2·y·gs2
+    (s1 = Σy, s2 = Σy² ⇒ their cotangents re-enter dy elementwise). Runs
+    where the backward kernels load gy, so the adjusted cotangent never
+    round-trips HBM."""
+    if c1_ref is None:
+        return rows
+    shape = (1,) * (rows.ndim - 2) + (rows.shape[-2], 1)
+    rf = rows.astype(jnp.float32) + c1_ref[...].reshape(shape)
+    rf = rf + 2.0 * y_rows.astype(jnp.float32) * c2_ref[...].reshape(shape)
+    return rf.astype(rows.dtype)
+
+
+def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, cot,
+                out_dtype):
     refs = list(refs)
     x_ref, w_ref = refs[:2]
     refs = refs[2:]
@@ -65,6 +79,10 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, out_dtype):
     if affine:
         s_ref, b_ref = refs[:2]
         refs = refs[2:]
+    yc_ref = c1_ref = c2_ref = None
+    if cot:
+        yc_ref, c1_ref, c2_ref = refs[:3]
+        refs = refs[3:]
     xo_ref = s2_ref = b2_ref = dsc_ref = db_ref = None
     sum_ref = sq_ref = None
     if bwd_affine:
@@ -100,7 +118,10 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, out_dtype):
     def _():
         # slab rows [0, R+1): input rows R*(g-1) - 1 .. R*(g-1) + R - 1;
         # complete the window with the first row of the current block
-        below = _ingest(x_ref[0, 0], s_ref, b_ref)
+        below = x_ref[0, 0]
+        if cot:
+            below = _ingest_cot(below, yc_ref[0, 0], c1_ref, c2_ref)
+        below = _ingest(below, s_ref, b_ref)
         slab[R + 1] = jnp.where(g == G, jnp.zeros_like(below), below)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -166,7 +187,10 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, out_dtype):
     # ingest the current group for the next step (reads before writes)
     prev_last = slab[R]
     slab[0] = prev_last
-    slab[1 : R + 1] = _ingest(x_ref[0], s_ref, b_ref)
+    rows = x_ref[0]
+    if cot:
+        rows = _ingest_cot(rows, yc_ref[0], c1_ref, c2_ref)
+    slab[1 : R + 1] = _ingest(rows, s_ref, b_ref)
 
 
 def _affine_specs_operands(in_specs, operands, in_scale, in_bias, Ci):
@@ -180,7 +204,8 @@ def _affine_specs_operands(in_specs, operands, in_scale, in_bias, Ci):
 
 
 def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
-                 in_scale=None, in_bias=None, bwd_affine=None, stats=False):
+                 in_scale=None, in_bias=None, bwd_affine=None, stats=False,
+                 cot_adjust=None):
     """bwd_affine (dgrad-of-fused use only): a tuple (xo, scale, bias) of the
     fused op's raw input and producer fold; the kernel then returns
     (dx, dscale, dbias) with the relu/affine backward fused into the
@@ -188,7 +213,10 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
 
     stats: additionally return per-output-channel BatchNorm sums
     (sum y, sum y^2) accumulated across the grid — (y, s1, s2) — so the BN
-    of this conv needs no separate stats pass over HBM."""
+    of this conv needs no separate stats pass over HBM.
+
+    cot_adjust (dgrad use): a tuple (y, gs1, gs2) — fold the stats-output
+    cotangents into the loaded gy (gy + gs1 + 2·y·gs2) on slab ingest."""
     B, H, Ci, W = x.shape
     Co = w.shape[-1]
     assert w.shape == (3, 3, Ci, Co), w.shape
@@ -204,14 +232,15 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     kern = functools.partial(
         _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
         affine=in_scale is not None, bwd_affine=bwd_affine is not None,
-        stats=stats, out_dtype=x.dtype
+        stats=stats, cot=cot_adjust is not None, out_dtype=x.dtype
+    )
+    halo_spec = pl.BlockSpec(
+        (1, R, Ci, W),
+        lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
+        memory_space=pltpu.VMEM,
     )
     in_specs = [
-        pl.BlockSpec(
-            (1, R, Ci, W),
-            lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        halo_spec,
         pl.BlockSpec(
             (3 * Co, 3 * Ci), lambda b, g: (0, 0),
             memory_space=pltpu.VMEM,
@@ -220,6 +249,13 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     in_specs, operands = _affine_specs_operands(
         in_specs, [x, wk], in_scale, in_bias, Ci
     )
+    if cot_adjust is not None:
+        yc, gs1, gs2 = cot_adjust
+        in_specs.append(halo_spec)  # y, same halo walk as gy
+        operands.append(yc)
+        in_specs, operands = _affine_specs_operands(
+            in_specs, operands, gs1, gs2, Ci
+        )
     out_spec = pl.BlockSpec(
         (1, R, Co, W),
         lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
@@ -265,12 +301,19 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     )(*operands)
 
 
-def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine):
+def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine, cot):
+    refs = list(refs)
+    x_ref, g_ref = refs[:2]
+    refs = refs[2:]
+    s_ref = b_ref = None
     if affine:
-        x_ref, g_ref, s_ref, b_ref, dw_ref, slab = refs
-    else:
-        x_ref, g_ref, dw_ref, slab = refs
-        s_ref = b_ref = None
+        s_ref, b_ref = refs[:2]
+        refs = refs[2:]
+    yc_ref = c1_ref = c2_ref = None
+    if cot:
+        yc_ref, c1_ref, c2_ref = refs[:3]
+        refs = refs[3:]
+    dw_ref, slab = refs
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -298,12 +341,15 @@ def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine):
         # row-contiguous, so rows r..r+2 stack into the M dim for free.
         gshift = []
         for r in range(R):
-            gf = g_ref[0, r].astype(jnp.float32)
+            gr = g_ref[0, r]
+            if cot:  # fold the stats cotangents into gy on load
+                gr = _ingest_cot(gr, yc_ref[0, r], c1_ref, c2_ref)
+            gf = gr.astype(jnp.float32)
             zero = jnp.zeros_like(gf)
             gm = jnp.where(not_last, pltpu.roll(gf, W - 1, axis=1), zero)
             gp = jnp.where(not_first, pltpu.roll(gf, 1, axis=1), zero)
             gshift.append(
-                (gm.astype(g_ref.dtype), g_ref[0, r], gp.astype(g_ref.dtype))
+                (gm.astype(g_ref.dtype), gr, gp.astype(g_ref.dtype))
             )
 
         for dx in range(3):
@@ -324,7 +370,7 @@ def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine):
 
 
 def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
-                   in_scale=None, in_bias=None):
+                   in_scale=None, in_bias=None, cot_adjust=None):
     B, H, Ci, W = x.shape
     Co = gy.shape[2]
     R = rows_per_step or _pick_rows_per_step(Ci, H)
@@ -333,7 +379,12 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
 
     kern = functools.partial(
         _wgrad_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
-        affine=in_scale is not None,
+        affine=in_scale is not None, cot=cot_adjust is not None,
+    )
+    g_spec = pl.BlockSpec(
+        (1, R, Co, W),
+        lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
     )
     in_specs = [
         pl.BlockSpec(
@@ -341,15 +392,18 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
             lambda b, g: (b, jnp.minimum(g, G - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, R, Co, W),
-            lambda b, g: (b, jnp.maximum(g - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        g_spec,
     ]
     in_specs, operands = _affine_specs_operands(
         in_specs, [x, gy], in_scale, in_bias, Ci
     )
+    if cot_adjust is not None:
+        yc, gs1, gs2 = cot_adjust
+        in_specs.append(g_spec)  # y, same aligned walk as gy
+        operands.append(yc)
+        in_specs, operands = _affine_specs_operands(
+            in_specs, operands, gs1, gs2, Co
+        )
     return pl.pallas_call(
         kern,
         grid=(B, G + 1),
@@ -439,16 +493,6 @@ def _bnrelu_vjp_bwd(rows_per_step, interpret, res, gy):
 conv3x3_bnrelu_bhcw.defvjp(_bnrelu_vjp_fwd, _bnrelu_vjp_bwd)
 
 
-def _stats_adjust(gy, y, gs1, gs2):
-    """Fold the stats-output cotangents back into gy: s1 = Σy, s2 = Σy² ⇒
-    gy_eff = gy + gs1 + 2·y·gs2 — one fused XLA elementwise pass (replaces
-    the BN-statistics backward correction pass over the same tensors)."""
-    yf = y.astype(jnp.float32)
-    g = gy.astype(jnp.float32)
-    g = g + gs1[None, None, :, None] + 2.0 * yf * gs2[None, None, :, None]
-    return g.astype(gy.dtype)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3x3_stats_bhcw(x, w, rows_per_step=None, interpret=False):
     """conv3x3_bhcw that also returns the per-channel BatchNorm sums
@@ -466,10 +510,12 @@ def _stats_vjp_fwd(x, w, rows_per_step, interpret):
 def _stats_vjp_bwd(rows_per_step, interpret, res, ct):
     x, w, y = res
     gy, gs1, gs2 = ct
-    gy = _stats_adjust(gy, y, gs1, gs2)
+    # the stats cotangents fold into gy on each kernel's ingest (no
+    # materialized gy_eff pass; see _ingest_cot)
+    cot = (y, gs1, gs2)
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
-    dx = _conv3x3_fwd(gy, w_flip, rows_per_step, interpret)
-    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret)
+    dx = _conv3x3_fwd(gy, w_flip, rows_per_step, interpret, cot_adjust=cot)
+    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret, cot_adjust=cot)
     return dx, dw.astype(w.dtype)
 
 
@@ -498,12 +544,15 @@ def _bnrelu_stats_vjp_fwd(x, w, scale, bias, rows_per_step, interpret):
 def _bnrelu_stats_vjp_bwd(rows_per_step, interpret, res, ct):
     x, w, scale, bias, y = res
     gy, gs1, gs2 = ct
-    gy = _stats_adjust(gy, y, gs1, gs2)
+    cot = (y, gs1, gs2)
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     dx, dscale, dbias = _conv3x3_fwd(
-        gy, w_flip, rows_per_step, interpret, bwd_affine=(x, scale, bias)
+        gy, w_flip, rows_per_step, interpret,
+        bwd_affine=(x, scale, bias), cot_adjust=cot,
     )
-    dw = _conv3x3_wgrad(x, gy, rows_per_step, interpret, scale, bias)
+    dw = _conv3x3_wgrad(
+        x, gy, rows_per_step, interpret, scale, bias, cot_adjust=cot
+    )
     return dx, dw.astype(w.dtype), dscale[:, 0], dbias[:, 0]
 
 
