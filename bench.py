@@ -5,13 +5,26 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 vs_baseline: the reference publishes no throughput numbers anywhere in its
-tree (BASELINE.md). We therefore benchmark against a documented engineering
-estimate of the reference's per-GPU training throughput on its assumed 8×V100
-setup: the model is ~1.3 TFLOP fwd+bwd per frame at batch 2/GPU in fp16; at a
-typical 25-30% MXNet symbolic-executor utilization of a V100's 125 TFLOP/s
-that is ~8 frames/s/chip train. REFERENCE_TRAIN_FPS below records the
-assumption; the driver-tracked metric is our absolute frames/s/chip either
-way, so the assumption only scales the ratio, not the measurement.
+tree (BASELINE.md). We therefore benchmark against documented engineering
+estimates of the reference's per-GPU throughput on its assumed 8×V100 setup:
+
+* TRAIN ~8 frames/s/chip: the model is ~1.3 TFLOP fwd+bwd per frame at
+  batch 2/GPU in fp16; at a typical 25-30% MXNet symbolic-executor
+  utilization of a V100's 125 TFLOP/s that is ~8 frames/s/chip.
+* INFER ~20 frames/s/chip: the test path is one ~0.43 TFLOP forward at
+  batch 1 (tools/test.py:117-128) — ~35 ms at the same utilization — plus
+  a per-frame device→host sync (`asnumpy()`, tools/test.py:154) and the
+  sequential host C++ WNMS (~10-15 ms/frame measured for comparable
+  greedy C++ NMS loops at thousands of candidates) ≈ 50 ms/frame.
+
+REFERENCE_{TRAIN,INFER}_FPS_PER_CHIP below record both assumptions
+(cross-referenced in BASELINE.md); the driver-tracked metric is our absolute
+frames/s/chip either way, so the assumptions only scale the ratio, not the
+measurement. Inference is reported BOTH as batched throughput (B=4, what a
+production eval run uses — tools/test.py --batch) and as single-frame B=1
+latency; the composite uses the batched number (the baseline's 20 f/s
+estimate is a per-chip throughput figure too: the reference saturates each
+GPU with one eval thread per device, reference tools/test.py:139-170).
 """
 import json
 import os
@@ -21,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_TRAIN_FPS_PER_CHIP = 8.0  # documented estimate, see module docstring
+REFERENCE_INFER_FPS_PER_CHIP = 20.0  # documented estimate, see module docstring
 
 N_WARMUP = 3
 N_ITERS = 20
@@ -98,6 +112,21 @@ def main():
     infer_dt = (time.perf_counter() - t0) / N_ITERS
     infer_fps = EVAL_BATCH / infer_dt
 
+    # single-frame latency (B=1), reported alongside the batched throughput
+    # so cross-round comparisons stay like-for-like (see module docstring)
+    ebatch1_np = make_batch(cfg_t, 1, seed=2, num_boxes=20)
+    ebatch1 = build_eval_inputs(
+        {k: jnp.asarray(v) for k, v in ebatch1_np.items()}, cfg_t
+    )
+    for _ in range(N_WARMUP):
+        out1 = eval_step(state, ebatch1)
+    float(out1["veh"]["boxes"][0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out1 = eval_step(state, ebatch1)
+    float(out1["veh"]["boxes"][0, 0, 0])
+    infer_b1_dt = (time.perf_counter() - t0) / N_ITERS
+
     # combined train+infer figure: harmonic-style composite (a frame must be
     # both trained on and inferred once => time adds)
     combined_fps = 1.0 / (1.0 / train_fps + 1.0 / infer_fps)
@@ -108,13 +137,22 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(
             combined_fps
-            / (1.0 / (1.0 / REFERENCE_TRAIN_FPS_PER_CHIP + 1.0 / 20.0)),
+            / (
+                1.0
+                / (
+                    1.0 / REFERENCE_TRAIN_FPS_PER_CHIP
+                    + 1.0 / REFERENCE_INFER_FPS_PER_CHIP
+                )
+            ),
             3,
         ),
         "train_fps_per_chip": round(train_fps, 3),
         "infer_fps_per_chip": round(infer_fps, 3),
         "train_step_ms": round(train_dt * 1000, 2),
         "infer_step_ms": round(infer_dt * 1000, 2),
+        "infer_b1_latency_ms": round(infer_b1_dt * 1000, 2),
+        "vs_baseline_train": round(train_fps / REFERENCE_TRAIN_FPS_PER_CHIP, 3),
+        "vs_baseline_infer": round(infer_fps / REFERENCE_INFER_FPS_PER_CHIP, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

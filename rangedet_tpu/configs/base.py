@@ -113,11 +113,12 @@ class RangeDetConfig:
     wnms_thr_lo: float = 0.1
     wnms_thr_hi: float = 0.5
     wnms_is_3d: bool = False
-    # per-round exact-IoU candidate bound (device analogue of the C++
-    # spatial-hash prefilter, nms.h:252-307): each greedy round clips only
-    # against this many nearest circumcircle-overlapping candidates; rounds
-    # that exceed it surface via the per-frame `truncated` flag. 0 = exact
-    # full row (slow worst case: ~4x the per-round cost at 4096 candidates)
+    # per-chunk exact-IoU candidate bound (device analogue of the C++
+    # spatial-hash prefilter, nms.h:252-307): each greedy round clips against
+    # the circumcircle-overlapping candidates in nearest-first chunks of this
+    # size until exhausted — exact unconditionally; crowded rounds just run
+    # extra chunks. 0 = single full row per round (slow worst case: ~4x the
+    # per-round cost at 4096 candidates)
     wnms_prefilter_topm: int = 512
     max_det_per_image: int = 100
 

@@ -84,13 +84,16 @@ def gt_difficulty(
 ) -> np.ndarray:
     """Per-GT level: 0 = excluded (empty box), 1 = LEVEL_1, 2 = LEVEL_2.
 
-    WOD rule: labeler-marked LEVEL_2 stays LEVEL_2; otherwise ≤ 5 lidar
-    points → LEVEL_2; 0 points → not evaluated at all.
+    WOD rule: a manual (labeler) difficulty, when set (nonzero), is used
+    directly — including an explicit LEVEL_1 on a sparse box; the ≤ 5
+    lidar-points → LEVEL_2 fallback applies only where the manual difficulty
+    is UNKNOWN (0 / absent). 0 points → not evaluated at all.
     """
     num_points = np.asarray(num_points).reshape(-1)
     level = np.where(num_points <= 5, 2, 1)
     if manual_difficulty is not None:
-        level = np.maximum(level, (np.asarray(manual_difficulty) == 2) * 2)
+        manual = np.asarray(manual_difficulty).reshape(-1).astype(np.int32)
+        level = np.where(manual > 0, manual, level)
     return np.where(num_points == 0, 0, level).astype(np.int32)
 
 

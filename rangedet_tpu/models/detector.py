@@ -326,7 +326,7 @@ def run_inference(
             valid = top_scores > min_score  # strict, as test.py:200
             # cap binds <=> the weakest kept candidate still clears min_score
             truncated = top_scores[-1] > min_score
-            out12, out_valid, overflow = ops_nms.weighted_nms(
+            out12, out_valid = ops_nms.weighted_nms(
                 box11,
                 top_scores,
                 valid,
@@ -336,13 +336,10 @@ def run_inference(
                 iou_3d=cfg.wnms_is_3d,
                 prefilter_topm=cfg.wnms_prefilter_topm,
             )
-            # either cap binding makes the device output a (flagged)
-            # approximation of the reference's unbounded host WNMS
-            return (
-                ops_boxes.box12_to_box8_eval(out12),
-                out_valid,
-                truncated | overflow,
-            )
+            # the device_topk cap binding makes the device output a (flagged)
+            # approximation of the reference's unbounded host WNMS; the WNMS
+            # itself (incl. the chunked circumcircle prefilter) is exact
+            return ops_boxes.box12_to_box8_eval(out12), out_valid, truncated
 
         boxes8, valid, truncated = jax.vmap(per_frame)(
             scores[..., k], deltas[:, :, k], pc, mask

@@ -106,18 +106,17 @@ def weighted_nms(
       max_keep: static number of greedy rounds (post-NMS top-n).
       iou_3d: use volumetric IoU (reference is_3d_iou; shipped configs False).
       prefilter_topm: if > 0, each round runs the exact polygon clip only
-        against the ``prefilter_topm`` nearest candidates whose circumcircles
-        overlap the survivor's (IoU is provably 0 outside that set) — the
-        device analogue of the reference's spatial-hash prefilter
-        (operator_cxx/src_cxx/nms.h:252-307 BBoxHash). Exact whenever the
-        candidate count within the bound fits; the returned ``overflow``
-        flags rounds where it did not.
+        against candidates whose circumcircles overlap the survivor's (IoU is
+        provably 0 outside that set) — the device analogue of the reference's
+        spatial-hash prefilter (operator_cxx/src_cxx/nms.h:252-307 BBoxHash).
+        The overlapping set is processed in chunks of ``prefilter_topm``
+        nearest-first until exhausted, so the result is EXACT unconditionally:
+        the common case (≤ topm circumcircle collisions) costs one chunk, a
+        crowded round simply runs extra chunks instead of approximating.
 
     Returns:
       out12: (max_keep, 12) weighted boxes [avg 11-dim, survivor score].
       out_valid: (max_keep,) bool row validity.
-      overflow: () bool — prefilter bound ever exceeded (always False when
-        prefilter_topm == 0).
     """
     K = dets11.shape[0]
     dets11 = dets11.astype(jnp.float32)
@@ -142,35 +141,51 @@ def weighted_nms(
 
     def iou_row_of(one, idx):
         if not M:
-            return _det_iou(dets11, one, iou_3d), jnp.asarray(False)
+            return _det_iou(dets11, one, iou_3d)
         c_i = jnp.mean(one[:8].reshape(4, 2), axis=0)
         r_i = jnp.sqrt(jnp.max(jnp.sum((one[:8].reshape(4, 2) - c_i) ** 2, -1)))
         d2 = jnp.sum((centers - c_i) ** 2, axis=-1)
         maybe = d2 < (radii + r_i) ** 2  # IoU > 0 certified impossible outside
-        # top_k by negative distance selects the M nearest within the bound
-        # (measured faster than a cumsum stream-compaction on v5e)
-        key = jnp.where(maybe, d2, jnp.inf)
-        _, sub = jax.lax.top_k(-key, M)
-        sub_iou = _det_iou(dets11[sub], one, iou_3d)
-        sub_iou = jnp.where(maybe[sub], sub_iou, 0.0)
-        row = jnp.zeros((K,), jnp.float32).at[sub].set(sub_iou)
-        return row, jnp.sum(maybe) > M
+
+        # Exact chunked sweep: pick the M nearest unprocessed collisions per
+        # chunk (lax.top_k by negative distance — measured faster than a
+        # cumsum stream-compaction on v5e) until none remain. ≥ 1 collision
+        # always exists (the survivor itself), and the usual frame fits in
+        # one chunk, so the loop body runs once in the common case.
+        def chunk_cond(st):
+            _, remaining = st
+            return jnp.any(remaining)
+
+        def chunk_body(st):
+            row, remaining = st
+            key = jnp.where(remaining, d2, jnp.inf)
+            _, sub = jax.lax.top_k(-key, M)
+            picked = remaining[sub]  # top_k pads with non-remaining when < M
+            sub_iou = _det_iou(dets11[sub], one, iou_3d)
+            row = row.at[sub].set(jnp.where(picked, sub_iou, row[sub]))
+            remaining = remaining.at[sub].set(False)
+            return row, remaining
+
+        row, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.zeros((K,), jnp.float32), maybe)
+        )
+        return row
 
     def cond_fn(state):
-        suppressed, rows, row_valid, r, overflow = state
+        suppressed, rows, row_valid, r = state
         # early exit: frames rarely fill max_keep — each round costs a full
         # IoU row, so stop as soon as no candidate remains alive
         return (r < max_keep) & jnp.any(valid & ~suppressed)
 
     def body_fn(state):
-        suppressed, rows, row_valid, r, overflow = state
+        suppressed, rows, row_valid, r = state
         alive = valid & ~suppressed
         idx = jnp.argmax(alive)  # first alive in score order
         one = dets11[idx]
         score_i = scores[idx]
         yaw_i = yaw[idx]
 
-        iou_row, over = iou_row_of(one, idx)
+        iou_row = iou_row_of(one, idx)
         voters = (alive & (iou_row > thresh_vote)) | (arange == idx)
 
         median = _median_yaw_presorted(voters[yaw_order], yaw_sorted, yaw_i)
@@ -184,19 +199,16 @@ def weighted_nms(
         rows = rows.at[r].set(row)
         row_valid = row_valid.at[r].set(True)
         suppressed = suppressed | (alive & (iou_row >= thresh)) | (arange == idx)
-        return suppressed, rows, row_valid, r + 1, overflow | over
+        return suppressed, rows, row_valid, r + 1
 
     init = (
         ~valid,
         jnp.zeros((max_keep, 12), jnp.float32),
         jnp.zeros((max_keep,), bool),
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
     )
-    _, rows, row_valid, _, overflow = jax.lax.while_loop(
-        cond_fn, body_fn, init
-    )
-    return rows, row_valid, overflow
+    _, rows, row_valid, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+    return rows, row_valid
 
 
 def nms_3d(

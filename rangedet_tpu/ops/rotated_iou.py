@@ -214,7 +214,15 @@ def _quad_intersection_area_candidates(a: jnp.ndarray, b: jnp.ndarray) -> jnp.nd
         & cand_valid[..., :, None]
         & cand_valid[..., None, :]
     )  # (..., 24, 24): adj[i, j] ⇔ j is i's cyclic successor
-    q_next = jnp.einsum("...ij,...jc->...ic", adj.astype(q.dtype), q)
+    # HIGHEST: default TPU matmul precision would round the f32 vertex coords
+    # to bf16 in this one-hot contraction (the adjacency is exactly 0/1, so
+    # at full precision this is an exact permutation-gather).
+    q_next = jnp.einsum(
+        "...ij,...jc->...ic",
+        adj.astype(q.dtype),
+        q,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     tri = q[..., 0] * q_next[..., 1] - q[..., 1] * q_next[..., 0]
     area = jnp.sum(jnp.where(cand_valid, tri, 0.0), axis=-1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from .assigner import normalization_weight
@@ -183,7 +184,10 @@ def generate_dense_targets(
     # Every per-box lookup (box row, class id, per-box point count) rides
     # ONE one-hot matmul on the MXU: the v5e gather/scatter emitters cost
     # ~10 ms/step on the (340k points × 200 boxes) shapes (profiled), the
-    # matmul + one-hot construction ~1 ms. f32 keeps csa coords exact.
+    # matmul + one-hot construction ~1 ms. Precision.HIGHEST below keeps the
+    # csa coords exact: default TPU matmul precision rounds f32 operands to
+    # bf16 (~0.4% rel, up to ~0.3 m on far box centers), which would corrupt
+    # reg targets and 1/N weights on TPU only — invisible to the CPU oracles.
     assigned = assignment >= 0
     onehot_box = (
         (assignment[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
@@ -200,7 +204,9 @@ def generate_dense_targets(
         [gt_csa, counts[:, None], gt_mapped.astype(jnp.float32)[:, None]],
         axis=1,
     )  # (M, 9)
-    per_point = onehot_box @ table  # (N, 9)
+    per_point = jnp.matmul(
+        onehot_box, table, precision=jax.lax.Precision.HIGHEST
+    )  # (N, 9)
     box = per_point[:, :7]
 
     tgt = _reg_targets_from_box(pts, box, assigned)  # (N, 8)

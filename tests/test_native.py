@@ -53,7 +53,7 @@ def test_native_wnms_matches_device(rng):
         dets[k + 1 : k + 3, 11] = rng.uniform(0.05, 1.0, 2)
 
     out_native, _ = native.weighted_nms(dets, 0.1, 0.5)
-    out_dev, valid, _ = nms.weighted_nms(
+    out_dev, valid = nms.weighted_nms(
         jnp.asarray(dets[:, :11]), jnp.asarray(dets[:, 11]),
         jnp.ones(n, bool), 0.1, 0.5, max_keep=n,
     )

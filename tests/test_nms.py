@@ -30,7 +30,7 @@ def test_wnms_matches_oracle(rng):
 
     want, want_inds = oracles.wnms_oracle(dets, thresh=0.1, thresh_vote=0.5)
 
-    out12, out_valid, _ = nms.weighted_nms(
+    out12, out_valid = nms.weighted_nms(
         jnp.asarray(dets[:, :11]),
         jnp.asarray(dets[:, 11]),
         jnp.ones(n, bool),
@@ -48,7 +48,7 @@ def test_wnms_respects_validity(rng):
     dets = _make_dets(rng, n)
     valid = np.zeros(n, bool)
     valid[:4] = True
-    out12, out_valid, _ = nms.weighted_nms(
+    out12, out_valid = nms.weighted_nms(
         jnp.asarray(dets[:, :11]),
         jnp.asarray(dets[:, 11]),
         jnp.asarray(valid),
@@ -67,7 +67,7 @@ def test_wnms_exact_duplicates_average(rng):
     dets = _make_dets(rng, 1)
     dets = np.repeat(dets, 5, axis=0)
     dets[:, 11] = [0.9, 0.8, 0.7, 0.6, 0.5]
-    out12, out_valid, _ = nms.weighted_nms(
+    out12, out_valid = nms.weighted_nms(
         jnp.asarray(dets[:, :11]),
         jnp.asarray(dets[:, 11]),
         jnp.ones(5, bool),
@@ -116,12 +116,12 @@ def test_wnms_3d_mode(rng):
     b[9] += b[10] + 1.0  # raise bottom above a's top: zero z-overlap
     b[11] = 0.5
     two = np.stack([a, b])
-    out12, valid, _ = nms.weighted_nms(
+    out12, valid = nms.weighted_nms(
         jnp.asarray(two[:, :11]), jnp.asarray(two[:, 11]), jnp.ones(2, bool),
         thresh=0.1, thresh_vote=0.5, max_keep=2, iou_3d=True,
     )
     assert np.asarray(valid).sum() == 2  # both survive in 3D mode
-    out12b, validb, _ = nms.weighted_nms(
+    out12b, validb = nms.weighted_nms(
         jnp.asarray(two[:, :11]), jnp.asarray(two[:, 11]), jnp.ones(2, bool),
         thresh=0.1, thresh_vote=0.5, max_keep=2, iou_3d=False,
     )
@@ -189,11 +189,11 @@ def test_pre_nms_candidate_cap_equivalence(rng):
     assert not bool(out_tf["veh"]["truncated"][0])
 
 
-def test_wnms_prefilter_exact_and_overflow(rng):
-    # The circumcircle distance prefilter (nms.py:weighted_nms
-    # prefilter_topm, the device analogue of nms.h:252-307 BBoxHash) must be
-    # output-identical to the exact full-row path on a dense frame, and must
-    # raise `overflow` instead of silently degrading when the bound binds.
+def test_wnms_prefilter_exact(rng):
+    # The chunked circumcircle prefilter (nms.py:weighted_nms prefilter_topm,
+    # the device analogue of nms.h:252-307 BBoxHash) must be output-identical
+    # to the full-row path — including when the per-chunk bound binds and the
+    # inner loop must sweep multiple chunks.
     n = 256
     dets = _make_dets(rng, n, scale=20.0)
     for k in range(0, 64, 4):  # clusters of near-duplicates (voting)
@@ -207,19 +207,26 @@ def test_wnms_prefilter_exact_and_overflow(rng):
         jnp.ones(n, bool),
     )
     kw = dict(thresh=0.1, thresh_vote=0.5, max_keep=64)
-    exact, v_exact, of0 = nms.weighted_nms(*args, **kw, prefilter_topm=0)
-    fast, v_fast, of1 = nms.weighted_nms(*args, **kw, prefilter_topm=64)
-    assert not bool(of0) and not bool(of1)
+    exact, v_exact = nms.weighted_nms(*args, **kw, prefilter_topm=0)
+    fast, v_fast = nms.weighted_nms(*args, **kw, prefilter_topm=64)
     np.testing.assert_array_equal(np.asarray(v_exact), np.asarray(v_fast))
     np.testing.assert_allclose(
         np.asarray(exact), np.asarray(fast), rtol=1e-6, atol=1e-6
     )
 
-    # all boxes coincident -> every candidate is within every circumcircle
+    # all boxes coincident -> every candidate collides with every
+    # circumcircle, forcing n/topm = 16 chunks per round; output must STILL
+    # equal the full-row path (the reference's BBoxHash is exact, nms.h:252)
     dense = np.tile(dets[:1], (n, 1))
-    dense[:, 11] = rng.uniform(0.5, 1.0, n)
-    _, _, of = nms.weighted_nms(
-        jnp.asarray(dense[:, :11]), jnp.asarray(dense[:, 11]),
-        jnp.ones(n, bool), **kw, prefilter_topm=16,
+    dense[:, 11] = rng.uniform(0.5, 1.0, n).astype(np.float32)
+    dense_args = (
+        jnp.asarray(dense[:, :11]),
+        jnp.asarray(dense[:, 11]),
+        jnp.ones(n, bool),
     )
-    assert bool(of)
+    d_exact, dv_exact = nms.weighted_nms(*dense_args, **kw, prefilter_topm=0)
+    d_fast, dv_fast = nms.weighted_nms(*dense_args, **kw, prefilter_topm=16)
+    np.testing.assert_array_equal(np.asarray(dv_exact), np.asarray(dv_fast))
+    np.testing.assert_allclose(
+        np.asarray(d_exact), np.asarray(d_fast), rtol=1e-6, atol=1e-6
+    )

@@ -145,6 +145,7 @@ def main():
     output_dict, annotation_dict = {}, {}
     t0 = time.time()
     n = 0
+    n_truncated = 0
     for group, real in batched_frames():
         stacked = {
             k: np.concatenate([np.asarray(b[k]) for _, b, _ in group])
@@ -159,14 +160,22 @@ def main():
         for j in range(real):
             rec_id, _, anno = group[j]
             det = {}
+            frame_truncated = False
             for cls_name, res in out.items():
                 boxes = np.asarray(res["boxes"][j])
                 valid = np.asarray(res["valid"][j])
                 det[cls_name] = boxes[valid][: cfg.max_det_per_image]
+                frame_truncated |= bool(np.asarray(res["truncated"][j]))
+            if frame_truncated:
+                n_truncated += 1
             meta = anno.get(
                 "meta_info", {"name": str(rec_id), "timestamp_micros": 0}
             )
-            output_dict[rec_id] = {"det_xyzlwhyaws": det, "meta_info": meta}
+            output_dict[rec_id] = {
+                "det_xyzlwhyaws": det,
+                "meta_info": meta,
+                "truncated": frame_truncated,
+            }
             annotation_dict[rec_id] = anno
             n += 1
     dt = time.time() - t0
@@ -174,6 +183,16 @@ def main():
         f"{n} frames in {dt:.1f}s ({n / dt:.2f} frames/s, "
         f"batch {eval_bs} over {dict(mesh.shape)})"
     )
+    if n_truncated:
+        # observability for frames where the device candidate cap bound —
+        # those deviate from the reference's uncapped candidate set
+        # (reference tools/test.py:200-217); raise cfg.device_topk to clear
+        logger.warning(
+            f"{n_truncated}/{n} frames flagged truncated "
+            "(device_topk candidate cap bound)"
+        )
+    else:
+        logger.info("0 truncated frames (outputs exact vs unbounded WNMS)")
 
     out_path = args.output or os.path.join(
         cfg.experiment_dir, cfg.name, "predictions.pkl"
