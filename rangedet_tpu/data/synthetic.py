@@ -82,6 +82,141 @@ def make_frame(
     )
 
 
+def make_frame_vehicles(
+    rng: np.random.RandomState,
+    H: int = 64,
+    W: int = 2650,
+    num_boxes: int = 10,
+    class_choices=(1,),
+) -> Dict[str, np.ndarray]:
+    """One unpadded frame with RAYTRACED vehicle-like boxes.
+
+    Unlike :func:`make_frame`'s range-constant "billboard" patches (whose
+    square GT boxes make yaw unidentifiable from the input), each object here
+    is a true oriented cuboid (l≠w, vehicle-scale dims) rendered by exact
+    ray-OBB intersection: every painted pixel's range is the slab-method entry
+    distance of that pixel's lidar ray into the box, so the range profile
+    across the object encodes the visible faces — yaw, extent, and center are
+    all recoverable from the image, which makes held-out generalization (and
+    APH) a meaningful test. Objects z-buffer against each other and stand in
+    front of a background wall a few meters behind (partial occlusion between
+    boxes is possible and realistic).
+
+    Returns the same dict as make_frame plus ``gt_num_points`` (pixels owned
+    per box — feeds the WOD L1/L2 difficulty rule, eval/ap.py:gt_difficulty).
+    """
+    inclination = np.linspace(0.03, -0.3, H).astype(np.float32)
+    azimuth = np.linspace(np.pi, -np.pi, W, endpoint=False).astype(np.float32)
+    col_pitch = 2 * np.pi / W
+    row_pitch = (inclination[0] - inclination[-1]) / max(H - 1, 1)
+
+    base = rng.uniform(25.0, 75.0, (H, 1)).astype(np.float32)
+    wobble = rng.uniform(-2, 2, (H, W)).astype(np.float32)
+    bg = base + wobble
+    mask = (rng.uniform(0, 1, (H, W)) > 0.05).astype(np.float32)
+
+    incl_grid = np.broadcast_to(inclination[:, None], (H, W))
+    az_grid = np.broadcast_to(azimuth[None, :], (H, W))
+
+    gt_csa = np.zeros((num_boxes, 7), np.float32)
+    gt_class = np.zeros((num_boxes,), np.float32)
+    box_t = np.full((H, W, num_boxes), np.inf, np.float32)
+
+    for b in range(num_boxes):
+        r = rng.uniform(8.0, 50.0)
+        az_c = rng.uniform(-np.pi * 0.9, np.pi * 0.9)
+        row = rng.randint(H // 4, 3 * H // 4)
+        incl_c = inclination[row]
+        length = rng.uniform(3.6, 5.4)
+        width = rng.uniform(1.7, 2.1)
+        height = rng.uniform(1.5, 2.0)
+        yaw = rng.uniform(-np.pi, np.pi)
+        cx = r * np.cos(incl_c) * np.cos(az_c)
+        cy = r * np.cos(incl_c) * np.sin(az_c)
+        cz = r * np.sin(incl_c)
+        gt_csa[b] = [cx, cy, cz, length, width, height, yaw]
+        gt_class[b] = rng.choice(class_choices)
+
+        # restrict the exact intersection to the box's angular window
+        half_diag = 0.5 * np.hypot(length, width) + 0.3
+        ang_w = np.arctan2(half_diag, max(r - half_diag, 1.0))
+        ang_h = np.arctan2(height / 2 + 0.3, max(r - half_diag, 1.0))
+        col_c = int(round((np.pi - az_c) / col_pitch)) % W
+        hw = min(int(np.ceil(ang_w / col_pitch)) + 1, W // 2)
+        hh = min(int(np.ceil(ang_h / row_pitch)) + 1, H)
+        rows = np.arange(max(0, row - hh), min(H, row + hh + 1))
+        cols = np.arange(col_c - hw, col_c + hw + 1) % W
+        sub_i = incl_grid[np.ix_(rows, cols)]
+        sub_a = az_grid[np.ix_(rows, cols)]
+        d = np.stack(
+            [
+                np.cos(sub_i) * np.cos(sub_a),
+                np.cos(sub_i) * np.sin(sub_a),
+                np.sin(sub_i),
+            ],
+            axis=-1,
+        )  # (h, w, 3) unit ray directions from the sensor at the origin
+
+        # slab method in the box frame (rotate by -yaw about z)
+        cos_y, sin_y = np.cos(yaw), np.sin(yaw)
+        rot = np.array(
+            [[cos_y, sin_y, 0.0], [-sin_y, cos_y, 0.0], [0.0, 0.0, 1.0]],
+            np.float32,
+        )
+        o_b = rot @ np.array([-cx, -cy, -cz], np.float32)  # ray origin
+        d_b = d @ rot.T
+        ext = np.array([length / 2, width / 2, height / 2], np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (-ext - o_b) / d_b
+            t2 = (ext - o_b) / d_b
+        t_near = np.nanmin(np.stack([t1, t2]), axis=0)  # (h, w, 3)
+        t_far = np.nanmax(np.stack([t1, t2]), axis=0)
+        t_enter = t_near.max(axis=-1)
+        t_exit = t_far.min(axis=-1)
+        hit = (t_exit >= t_enter) & (t_enter > 0.5)
+        # nudge strictly inside the box (the assigner's containment is
+        # strict, assigner.h:29-51) without leaving short grazing chords
+        t_hit = np.minimum(t_enter + 5e-3, 0.5 * (t_enter + t_exit))
+        sub = box_t[np.ix_(rows, cols)]  # fancy-index copy; written back below
+        sub[..., b] = np.where(hit, t_hit, np.inf)
+        box_t[np.ix_(rows, cols)] = sub
+        # background wall a few meters behind the object's window
+        wall = t_exit[hit].max(initial=r) + rng.uniform(2.0, 8.0)
+        bg_sub = bg[np.ix_(rows, cols)]
+        bg[np.ix_(rows, cols)] = np.where(hit, np.maximum(bg_sub, wall), bg_sub)
+
+    owner = np.argmin(box_t, axis=-1)  # (H, W)
+    t_best = np.min(box_t, axis=-1)
+    object_px = np.isfinite(t_best) & (t_best < bg)
+    rng_img = np.where(object_px, t_best, bg).astype(np.float32)
+    mask = np.where(object_px, 1.0, mask).astype(np.float32)
+    owner = np.where(object_px, owner, -1)
+    gt_num_points = np.bincount(
+        owner[owner >= 0].ravel(), minlength=num_boxes
+    ).astype(np.float32)
+
+    rng_img = np.clip(rng_img, 1.0, 79.0)
+    x = rng_img * np.cos(incl_grid) * np.cos(az_grid)
+    y = rng_img * np.cos(incl_grid) * np.sin(az_grid)
+    z = rng_img * np.sin(incl_grid)
+    pc = np.stack([x, y, z], axis=-1).astype(np.float32) * mask[..., None]
+
+    return dict(
+        range_value=rng_img * mask,
+        intensity=np.where(
+            object_px, rng.uniform(0.4, 1.0, (H, W)), rng.uniform(0, 0.4, (H, W))
+        ).astype(np.float32),
+        elongation=rng.uniform(0, 0.3, (H, W)).astype(np.float32),
+        pc=pc,
+        mask=mask,
+        inclination=incl_grid.astype(np.float32),
+        azimuth=np.arctan2(pc[..., 1], pc[..., 0]).astype(np.float32),
+        gt_csa=gt_csa,
+        gt_class=gt_class,
+        gt_num_points=gt_num_points,
+    )
+
+
 def frame_to_inputs(frame: Dict[str, np.ndarray], pad_w: int) -> Dict[str, np.ndarray]:
     """Normalize + stack the 8 input channels and pad W (PadData equivalent)."""
     H, W = frame["mask"].shape
@@ -116,31 +251,47 @@ def frame_to_inputs(frame: Dict[str, np.ndarray], pad_w: int) -> Dict[str, np.nd
 
 
 def make_batch(
-    cfg, batch_size: int = None, seed: int = 0, num_boxes: int = 10
+    cfg,
+    batch_size: int = None,
+    seed: int = 0,
+    num_boxes: int = 10,
+    style: str = "paint",
 ) -> Dict[str, np.ndarray]:
-    """Batched, padded training batch matching build_train_targets' contract."""
+    """Batched, padded training batch matching build_train_targets' contract.
+
+    style: "paint" (fast billboard patches, the unit-test default) or
+    "vehicles" (raytraced oriented cuboids, make_frame_vehicles — used for
+    the held-out quality runs where yaw must be learnable).
+    """
     rng = np.random.RandomState(seed)
     B = batch_size or cfg.batch_image
     H, W = cfg.feat_size
     pad_w = cfg.pad_field[1]
     M = cfg.max_gt_boxes
+    maker = make_frame_vehicles if style == "vehicles" else make_frame
 
     out = {k: [] for k in
            ("input_data", "coord", "pc", "mask", "unnorm_range", "is_in_nlz",
-            "gt_csa", "gt_class", "gt_valid")}
+            "gt_csa", "gt_class", "gt_valid", "gt_num_points")}
     for _ in range(B):
-        frame = make_frame(rng, H, W, num_boxes, tuple(cfg.label_set))
+        frame = maker(rng, H, W, num_boxes, tuple(cfg.label_set))
         inputs = frame_to_inputs(frame, pad_w)
         for k, v in inputs.items():
             out[k].append(v)
         gt_csa = np.zeros((M, 7), np.float32)
         gt_class = np.zeros((M,), np.float32)
         gt_valid = np.zeros((M,), np.float32)
+        gt_np = np.zeros((M,), np.float32)
         n = min(num_boxes, M)
         gt_csa[:n] = frame["gt_csa"][:n]
         gt_class[:n] = frame["gt_class"][:n]
         gt_valid[:n] = 1.0
+        if "gt_num_points" in frame:
+            gt_np[:n] = frame["gt_num_points"][:n]
+        else:  # painter: count via containment not needed; mark all dense
+            gt_np[:n] = 100.0
         out["gt_csa"].append(gt_csa)
         out["gt_class"].append(gt_class)
         out["gt_valid"].append(gt_valid)
+        out["gt_num_points"].append(gt_np)
     return {k: np.stack(v) for k, v in out.items()}

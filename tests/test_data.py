@@ -62,6 +62,31 @@ def test_synthetic_points_inside_boxes(rng):
     assert (counts > 5).sum() >= 3, counts
 
 
+def test_synthetic_vehicles_raytrace_consistency(rng):
+    """Raytraced vehicle frames: every painted object pixel's 3D point lies
+    strictly inside its GT cuboid (per the reference-strict assigner), and
+    gt_num_points matches the assigner's census exactly."""
+    from rangedet_tpu.data.synthetic import make_frame_vehicles
+
+    import jax.numpy as jnp
+    from rangedet_tpu.ops import assigner, boxes
+
+    frame = make_frame_vehicles(rng, H=64, W=512, num_boxes=6)
+    corners8 = np.asarray(boxes.csa_to_corners3d(jnp.asarray(frame["gt_csa"])))
+    idx = np.asarray(
+        assigner.assign_points_to_boxes(
+            jnp.asarray(frame["pc"].reshape(-1, 3)),
+            jnp.asarray(corners8),
+            jnp.asarray(frame["mask"].reshape(-1)),
+        )
+    )
+    counts = np.bincount(idx[idx >= 0], minlength=6).astype(np.float32)
+    np.testing.assert_array_equal(counts, frame["gt_num_points"])
+    assert counts.sum() > 0
+    # vehicle boxes are oriented (l != w): yaw is identifiable
+    assert (frame["gt_csa"][:, 3] > frame["gt_csa"][:, 4]).all()
+
+
 def test_make_batch_shapes():
     cfg = tiny_config()
     b = make_batch(cfg, batch_size=3, seed=1, num_boxes=4)
