@@ -11,7 +11,10 @@ without the gated proto path:
   * AP: greedy score-ordered matching at an IoU threshold + 101-point
     interpolated AP (the WOD evaluator uses Hungarian matching; greedy is
     the standard COCO/KITTI approximation and matches it on well-separated
-    detections);
+    detections). :func:`waymo_metrics_hungarian` implements the WOD
+    construction itself (score-cutoff sweep + Hungarian assignment per
+    cutoff); tests/test_ap.py bounds the greedy−Hungarian |ΔAP| on crowded
+    scenes;
   * APH: every true positive is weighted by heading accuracy
     1 − |Δyaw_wrapped| / π, exactly the WOD definition;
   * L1/L2: a GT box is LEVEL_2 when the labeler marked it so or it contains
@@ -169,6 +172,98 @@ def _pr_summary(scores, tps, hws, total_gt) -> Dict[str, float]:
     }
 
 
+def _frame_level(fr, gt_csa):
+    if "gt_num_points" in fr:
+        return gt_difficulty(fr["gt_num_points"], fr.get("gt_difficulty"))
+    return np.ones(len(gt_csa), np.int32)
+
+
+def waymo_metrics_hungarian(
+    frames: Sequence[Dict[str, np.ndarray]],
+    iou_thresh: float = 0.7,
+    mode: str = "3d",
+    num_cutoffs: int = 201,
+) -> Dict[str, Dict[str, float]]:
+    """WOD-construction reference evaluator: sweep score cutoffs and
+    Hungarian-match detections to GTs (max total IoU among pairs with
+    IoU ≥ thresh) at each cutoff — the matching the official WOD evaluator
+    uses. Slower than :func:`waymo_metrics` (one assignment solve per frame
+    per cutoff); used to bound the greedy approximation (tests/test_ap.py)
+    and available for final numbers.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    cutoffs = np.linspace(0.0, 1.0, num_cutoffs)
+    # per level: tp, tp_h (heading-weighted), n_det (after ignore-drop), per cutoff
+    acc = {
+        name: {"tp": np.zeros(num_cutoffs), "tph": np.zeros(num_cutoffs),
+               "det": np.zeros(num_cutoffs), "gt": 0}
+        for name in ("L1", "L2")
+    }
+    for fr in frames:
+        det_csa = np.asarray(fr["det_csa"], np.float32).reshape(-1, 7)
+        det_scores = np.asarray(fr["det_scores"], np.float32).reshape(-1)
+        gt_csa = np.asarray(fr["gt_csa"], np.float32).reshape(-1, 7)
+        level = _frame_level(fr, gt_csa)
+        iou_full = _iou_matrix_np(det_csa, gt_csa, mode)
+        for name, keep, ignore in (
+            ("L1", level == 1, level != 1),
+            ("L2", level >= 1, level == 0),
+        ):
+            acc[name]["gt"] += int(keep.sum())
+            iou = iou_full[:, keep] if keep.any() else np.zeros(
+                (len(det_csa), 0), np.float32)
+            iou_ign = iou_full[:, ignore] if ignore.any() else None
+            gt_yaw = gt_csa[keep, 6]
+            for ci, c in enumerate(cutoffs):
+                sel = det_scores >= c
+                n_sel = int(sel.sum())
+                if n_sel == 0:
+                    continue
+                sub = iou[sel]
+                tp = tph = 0.0
+                matched_det = np.zeros(n_sel, bool)
+                if sub.size:
+                    cost = np.where(sub >= iou_thresh, -sub, 1.0)
+                    ri, gi = linear_sum_assignment(cost)
+                    ok = sub[ri, gi] >= iou_thresh
+                    tp = float(ok.sum())
+                    hw = heading_accuracy(
+                        det_csa[sel][ri[ok], 6], gt_yaw[gi[ok]]
+                    )
+                    tph = float(hw.sum())
+                    matched_det[ri[ok]] = True
+                # unmatched dets overlapping an ignored GT are dropped
+                n_drop = 0
+                if iou_ign is not None and iou_ign.shape[1]:
+                    overlaps_ign = iou_ign[sel].max(axis=1) >= iou_thresh
+                    n_drop = int((overlaps_ign & ~matched_det).sum())
+                acc[name]["tp"][ci] += tp
+                acc[name]["tph"][ci] += tph
+                acc[name]["det"][ci] += n_sel - n_drop
+    out = {}
+    for name, a in acc.items():
+        if a["gt"] == 0:
+            out[name] = {"ap": 0.0, "aph": 0.0, "recall": 0.0, "precision": 0.0}
+            continue
+        recall = a["tp"] / a["gt"]
+        denom = np.maximum(a["det"], 1)
+        precision = a["tp"] / denom
+        precision_h = a["tph"] / denom
+        ap = aph = 0.0
+        for r in np.linspace(0, 1, 101):
+            selr = recall >= r
+            ap += (precision[selr].max() if selr.any() else 0.0) / 101.0
+            aph += (precision_h[selr].max() if selr.any() else 0.0) / 101.0
+        out[name] = {
+            "ap": float(ap),
+            "aph": float(aph),
+            "recall": float(recall.max()),
+            "precision": float(precision[0]) if len(precision) else 0.0,
+        }
+    return out
+
+
 def waymo_metrics(
     frames: Sequence[Dict[str, np.ndarray]],
     iou_thresh: float = 0.7,
@@ -189,12 +284,7 @@ def waymo_metrics(
         det_csa = np.asarray(fr["det_csa"], np.float32).reshape(-1, 7)
         det_scores = np.asarray(fr["det_scores"], np.float32).reshape(-1)
         gt_csa = np.asarray(fr["gt_csa"], np.float32).reshape(-1, 7)
-        if "gt_num_points" in fr:
-            level = gt_difficulty(
-                fr["gt_num_points"], fr.get("gt_difficulty")
-            )
-        else:
-            level = np.ones(len(gt_csa), np.int32)
+        level = _frame_level(fr, gt_csa)
 
         for name, keep, ignore in (
             ("L1", level == 1, level != 1),  # L2 and empty GTs ignored

@@ -68,6 +68,10 @@ def test_gt_difficulty_rule():
     np.testing.assert_array_equal(gt_difficulty(pts), [0, 2, 2, 1, 1])
     manual = np.array([0, 0, 0, 2, 0])  # labeler marks box 3 as LEVEL_2
     np.testing.assert_array_equal(gt_difficulty(pts, manual), [0, 2, 2, 2, 1])
+    # a manual LEVEL_1 on a sparse box overrides the <=5-points fallback
+    # (WOD uses the labeler level whenever it is set)
+    manual = np.array([0, 1, 1, 0, 2])
+    np.testing.assert_array_equal(gt_difficulty(pts, manual), [0, 1, 1, 1, 2])
 
 
 def test_waymo_metrics_perfect_is_1(rng):
@@ -161,3 +165,59 @@ def test_evaluate_wod_operating_point(rng):
     assert set(m) == {"L1", "L2"}
     for lvl in ("L1", "L2"):
         assert 0.0 <= m[lvl]["ap"] <= 1.0 and 0.0 <= m[lvl]["aph"] <= m[lvl]["ap"] + 1e-9
+
+
+def test_hungarian_matches_greedy_on_perfect(rng):
+    from rangedet_tpu.eval.ap import waymo_metrics, waymo_metrics_hungarian
+
+    gt = random_csa(rng, 8)
+    frames = [dict(det_csa=gt, det_scores=np.linspace(1, 0.5, 8), gt_csa=gt,
+                   gt_num_points=np.full(8, 50))]
+    g = waymo_metrics(frames, iou_thresh=0.7, mode="bev")
+    h = waymo_metrics_hungarian(frames, iou_thresh=0.7, mode="bev")
+    assert h["L1"]["ap"] > 0.99 and h["L1"]["aph"] > 0.99
+    assert abs(h["L1"]["ap"] - g["L1"]["ap"]) < 0.01
+
+
+def test_greedy_vs_hungarian_bound_crowded(rng):
+    """VERDICT #7: bound the greedy matcher's |dAP| vs the WOD-construction
+    Hungarian sweep on CROWDED scenes (clusters of overlapping GTs with
+    jittered, score-shuffled detections) — the regime where greedy can
+    mis-assign. The published target tolerance is 0.5 AP; assert well under
+    half of it at the veh operating point (3D-ish crowding via BEV 0.7)."""
+    from rangedet_tpu.eval.ap import waymo_metrics, waymo_metrics_hungarian
+
+    frames = []
+    for f in range(6):
+        # clusters: 4 groups of 4 boxes with heavy mutual overlap
+        centers = rng.uniform(-40, 40, (4, 2))
+        gts, dets, scores = [], [], []
+        for g in range(4):
+            for k in range(4):
+                l, w = rng.uniform(3.8, 5.2), rng.uniform(1.7, 2.1)
+                cx, cy = centers[g] + rng.uniform(-2.0, 2.0, 2)
+                yaw = rng.uniform(-np.pi, np.pi)
+                gt = [cx, cy, 0.0, l, w, 1.7, yaw]
+                gts.append(gt)
+                # imperfect detection of each GT + one duplicate per cluster
+                d = np.asarray(gt, np.float64)
+                d[:2] += rng.uniform(-0.4, 0.4, 2)
+                d[6] += rng.uniform(-0.15, 0.15)
+                dets.append(d)
+                scores.append(rng.uniform(0.3, 1.0))
+            dets.append(np.asarray(gts[-1], np.float64) +
+                        rng.uniform(-0.3, 0.3, 7))
+            scores.append(rng.uniform(0.3, 1.0))
+        frames.append(dict(
+            det_csa=np.asarray(dets, np.float32),
+            det_scores=np.asarray(scores, np.float32),
+            gt_csa=np.asarray(gts, np.float32),
+            gt_num_points=np.full(len(gts), 50),
+        ))
+
+    for thr in (0.5, 0.7):
+        g = waymo_metrics(frames, iou_thresh=thr, mode="bev")
+        h = waymo_metrics_hungarian(frames, iou_thresh=thr, mode="bev")
+        for lvl in ("L1", "L2"):
+            assert abs(g[lvl]["ap"] - h[lvl]["ap"]) < 0.02, (thr, lvl, g, h)
+            assert abs(g[lvl]["aph"] - h[lvl]["aph"]) < 0.02, (thr, lvl, g, h)
