@@ -46,3 +46,26 @@ def device_prefetch(
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def pool_map_prefetch(
+    fn: Callable, args_iter, workers: int = 4, depth: int = 8
+) -> Iterator:
+    """Map ``fn`` over ``args_iter`` with a thread pool, yielding results in
+    submission order ``depth`` ahead — the parallel analogue of the
+    reference's N transform worker threads (utils/detection_input.py:147-156)
+    for generator-bound streams (e.g. raytraced synthetic scenes)."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=workers)
+    futs: "collections.deque" = collections.deque()
+    try:
+        for a in args_iter:
+            futs.append(ex.submit(fn, a))
+            if len(futs) >= depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)

@@ -33,7 +33,10 @@ def parse_args():
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--lr-mode", default="constant",
+                   help="constant | cosine (decay over --steps)")
     p.add_argument("--optimizer", default="adamw")
+    p.add_argument("--style", default="paint", help="paint | vehicles")
     p.add_argument("--min-score", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--tiny", action="store_true", help="CPU-sized debug run")
@@ -89,13 +92,16 @@ def main():
         min_score={k: args.min_score for k in cfg_t.min_score}
     )
 
-    batch_np = make_batch(cfg, args.frames, seed=args.seed, num_boxes=args.boxes)
+    batch_np = make_batch(cfg, args.frames, seed=args.seed,
+                          num_boxes=args.boxes, style=args.style)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     model = RangeDet(**cfg.model_kwargs())
     tx, _ = build_optimizer(
         cfg.replace(optimizer=args.optimizer, base_lr=args.lr,
-                    warmup_epochs=0, lr_mode="constant", auto_scale_lr=False),
+                    warmup_epochs=0, lr_mode=args.lr_mode,
+                    auto_scale_lr=False, begin_epoch=0,
+                    end_epoch=max(1, args.steps // 1000)),
         steps_per_epoch=1000,
     )
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)

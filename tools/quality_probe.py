@@ -58,7 +58,7 @@ def main():
     import numpy as np
 
     from rangedet_tpu.configs import load_config
-    from rangedet_tpu.data.prefetch import threaded_prefetch
+    from rangedet_tpu.data.prefetch import pool_map_prefetch
     from rangedet_tpu.data.synthetic import make_batch
     from rangedet_tpu.eval.ap import average_precision, waymo_metrics
     from rangedet_tpu.models import RangeDet
@@ -92,10 +92,9 @@ def main():
         begin_epoch=0, end_epoch=max(1, args.steps // 1000),
     )
 
-    def train_stream():
-        for step_i in range(args.steps):
-            yield make_batch(cfg, B, seed=args.seed * 10_000_000 + step_i,
-                             num_boxes=args.boxes, style="vehicles")
+    def gen_batch(step_i):
+        return make_batch(cfg, B, seed=args.seed * 10_000_000 + step_i,
+                          num_boxes=args.boxes, style="vehicles")
 
     batch0 = make_batch(cfg, B, seed=HOLDOUT_SEED0 - 1, num_boxes=args.boxes,
                         style="vehicles")
@@ -150,7 +149,7 @@ def main():
         }
 
     t0 = time.time()
-    stream = threaded_prefetch(train_stream(), depth=4)
+    stream = pool_map_prefetch(gen_batch, range(args.steps), workers=6, depth=8)
     for step_i, batch_np in enumerate(stream, start=1):
         state, m = train_step(state, {k: jnp.asarray(v) for k, v in batch_np.items()})
         if step_i % args.log_every == 0:
