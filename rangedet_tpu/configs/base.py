@@ -157,7 +157,12 @@ class RangeDetConfig:
     # its (sum, sum-sq, count) over this mesh axis — exact sync-BN under
     # manual sharding, where the Pallas kernels keep running per-shard
     # (pallas_call cannot ride GSPMD's auto partitioner)
-    bn_sync_axis: Optional[str] = None
+    bn_sync_axis: Any = None
+    # width_axis: bound mesh axis name the range-image width is sharded over
+    # (shard_map width sharding with explicit conv halo exchange — the path
+    # that lets the Pallas kernels run on width-sharded meshes; bhcw only).
+    # Set by tools/train.py for width meshes; None = unsharded/GSPMD width.
+    width_axis: Any = None
 
     # ------------------------------------------------------------- io
     experiment_dir: str = "experiments"
@@ -187,6 +192,7 @@ class RangeDetConfig:
             remat_meta=self.remat_meta,
             layout=self.layout,
             bn_sync_axis=self.bn_sync_axis,
+            width_axis=self.width_axis,
         )
 
     def replace(self, **kw) -> "RangeDetConfig":

@@ -50,6 +50,11 @@ class RangeDet(nn.Module):
     remat_meta: bool = True
     layout: str = "nhwc"
     bn_sync_axis: Any = None
+    # width_axis: bound mesh axis the range-image WIDTH is sharded over —
+    # convs/deconvs/Meta-Kernel then exchange explicit halos via ppermute
+    # (layers.width_halo_exchange), which is what lets the Pallas kernels
+    # run under a width-sharded mesh (shard_map; GSPMD can't partition them)
+    width_axis: Any = None
 
     @nn.compact
     def __call__(self, input_data, coords, train: bool = True):
@@ -72,6 +77,7 @@ class RangeDet(nn.Module):
             remat_meta=self.remat_meta,
             layout=self.layout,
             bn_sync_axis=self.bn_sync_axis,
+            width_axis=self.width_axis,
             name="backbone",
         )(input_data, coords, train)
         return RangeRpnHead(
@@ -85,6 +91,7 @@ class RangeDet(nn.Module):
             layout=self.layout,
             use_pallas_conv=self.use_pallas_conv,
             bn_sync_axis=self.bn_sync_axis,
+            width_axis=self.width_axis,
             name="head",
         )(feats, train)
 
@@ -118,6 +125,7 @@ def build_train_targets(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, Any]:
             pc, gt_csa, gt_class, assignment,
             label_set=tuple(cfg.label_set),
             reg_dim_weights=tuple(cfg.reg_dim_weights),
+            count_sync_axis=getattr(cfg, "width_axis", None),
         )
         imasks = ops_targets.interval_masks(unnorm_range, cfg.fpn_intervals, strides)
 

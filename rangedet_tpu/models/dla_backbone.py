@@ -27,6 +27,7 @@ from .layers import (
     conv1x1_bhcw,
     conv1x1_planar,
     conv3x3_bhcw_consume,
+    conv3x3_bhcw_width_sharded,
     conv3x3_planar_core,
 )
 from .meta_kernel import MetaKernel
@@ -76,6 +77,7 @@ class MetaBlock(nn.Module):
     # (B, H, W, C) input (BasicBlock transposes for "planar").
     layout: str = "nhwc"
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, x, coords, train: bool = True):
@@ -86,6 +88,7 @@ class MetaBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas and not bhcw,
             layout="bhcw" if bhcw else "nhwc",
+            width_axis=self.width_axis,
             name="meta_kernel",
         )(x, coords)
         mk = BatchNorm(
@@ -130,6 +133,7 @@ class BasicBlock(nn.Module):
     remat_meta: bool = True
     layout: str = "nhwc"
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -153,6 +157,7 @@ class BasicBlock(nn.Module):
                 use_pallas=self.use_pallas_meta,
                 layout="bhcw" if self.layout == "bhcw" else "nhwc",
                 bn_sync_axis=self.bn_sync_axis,
+                width_axis=self.width_axis,
                 name="meta_block",
             )(mk_in, coords, train)
             if self.layout == "planar":
@@ -164,6 +169,7 @@ class BasicBlock(nn.Module):
                 # bhcw: conv1's BN apply + relu fuses into conv2's ingest
                 emit_pending=self.layout == "bhcw",
                 bn_sync_axis=self.bn_sync_axis,
+                width_axis=self.width_axis,
                 name="conv1",
             )(x)
 
@@ -182,11 +188,17 @@ class BasicBlock(nn.Module):
             else:
                 if not isinstance(y, PendingBN):
                     y = y.astype(self.dtype)
-                y, sums2 = conv3x3_bhcw_consume(
-                    y, k2.astype(self.dtype),
-                    self.strides[1], self.use_pallas_conv,
-                    want_stats=train and not self.is_initializing(),
-                )
+                if self.width_axis is not None and not self.is_initializing():
+                    y = conv3x3_bhcw_width_sharded(
+                        y, k2.astype(self.dtype), self.strides[1],
+                        self.use_pallas_conv, self.width_axis,
+                    )
+                else:
+                    y, sums2 = conv3x3_bhcw_consume(
+                        y, k2.astype(self.dtype),
+                        self.strides[1], self.use_pallas_conv,
+                        want_stats=train and not self.is_initializing(),
+                    )
         else:
             y = nn.Conv(
                 self.features, (3, 3), strides=self.strides, padding="SAME",
@@ -240,6 +252,7 @@ class ResStage(nn.Module):
     remat_meta: bool = True
     layout: str = "nhwc"
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, x, coords=None, train: bool = True):
@@ -260,6 +273,7 @@ class ResStage(nn.Module):
                 remat_meta=self.remat_meta,
                 layout=self.layout,
                 bn_sync_axis=self.bn_sync_axis,
+                width_axis=self.width_axis,
                 name=unit_name,
             )(x, coords, train)
         return x
@@ -284,6 +298,7 @@ class DLABackbone(nn.Module):
     remat: bool = False
     layout: str = "nhwc"  # "planar": internal (B, C, H, W), see layers.py
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, data, coords, train: bool = True):
@@ -314,6 +329,7 @@ class DLABackbone(nn.Module):
                 remat_meta=self.remat_meta,
                 layout=self.layout,
                 bn_sync_axis=self.bn_sync_axis,
+                width_axis=self.width_axis,
                 name=name,
             )(x, coords, train)
 
@@ -322,6 +338,7 @@ class DLABackbone(nn.Module):
                 nf[name], deconv_kernel, deconv_strides, dtype=self.dtype,
                 use_running_average=not train, layout=self.layout,
                 bn_sync_axis=self.bn_sync_axis,
+                width_axis=self.width_axis,
                 name=f"{name}_deconv",
             )(x_up)
             return res(name, x_const + up, (1, 1))

@@ -34,6 +34,7 @@ class RangeRpnHead(nn.Module):
     layout: str = "nhwc"
     use_pallas_conv: bool = True
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(
@@ -63,6 +64,7 @@ class RangeRpnHead(nn.Module):
                     use_pallas=self.use_pallas_conv,
                     emit_pending=pend,
                     bn_sync_axis=self.bn_sync_axis,
+                    width_axis=self.width_axis,
                     name=f"cls_conv_{i}_lvl_{level}",
                 )(cls_feat)
             for i in range(self.reg_conv_layers):
@@ -75,6 +77,7 @@ class RangeRpnHead(nn.Module):
                     use_pallas=self.use_pallas_conv,
                     emit_pending=pend,
                     bn_sync_axis=self.bn_sync_axis,
+                    width_axis=self.width_axis,
                     name=f"reg_conv_{i}_lvl_{level}",
                 )(reg_feat)
             cls_feat = materialize(cls_feat)

@@ -231,6 +231,41 @@ def conv3x3_bhcw_xla(
     return out
 
 
+def _axis_size_static(axis_name) -> int:
+    """Static size of a bound shard_map/pmap mesh axis."""
+    try:
+        return int(jax.lax.axis_size(axis_name))
+    except AttributeError:  # older jax: look up the frame's axis env
+        from jax.core import get_axis_env  # type: ignore
+
+        return int(get_axis_env().axis_size(axis_name))
+
+
+def width_halo_exchange(x: jnp.ndarray, axis_name, h: int = 1) -> jnp.ndarray:
+    """(…, W_local) -> (…, W_local + 2h): prepend/append the h edge columns
+    of the neighboring width shards via two ``ppermute``s over ``axis_name``.
+
+    The first/last shards receive ZEROS for the missing neighbor (ppermute's
+    semantics for un-addressed destinations) — exactly the global SAME zero
+    padding, so "exchange → run the zero-padded op → slice h (or stride·h)
+    output columns" reproduces the unsharded op bit-for-bit on the interior.
+    This is the manual-sharding analogue of the conv halo exchanges GSPMD
+    inserts automatically, and it is what lets the Pallas conv kernels (which
+    cannot ride the GSPMD partitioner) compose with a width-sharded mesh.
+    """
+    n = _axis_size_static(axis_name)
+    if n == 1:
+        pad = [(0, 0)] * (x.ndim - 1) + [(h, h)]
+        return jnp.pad(x, pad)
+    left = jax.lax.ppermute(
+        x[..., -h:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    right = jax.lax.ppermute(
+        x[..., :h], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.concatenate([left, x, right], axis=-1)
+
+
 def conv3x3_bhcw_best(
     xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1,
     use_pallas: bool = True,
@@ -288,6 +323,51 @@ def conv3x3_bhcw_consume(
         y, s1, s2 = conv3x3_stats_bhcw(x, kernel)
         return y, (s1, s2)
     return conv3x3_bhcw_best(x, kernel, stride_w, use_pallas), None
+
+
+def conv3x3_bhcw_width_sharded(
+    x: MaybePending, kernel: jnp.ndarray, stride_w: int, use_pallas: bool,
+    width_axis,
+):
+    """3x3 conv on a width shard: exchange halos over ``width_axis``, run the
+    unmodified (zero-padding) conv on the extended slice, slice the interior
+    — bit-identical to the unsharded op (its own zero pad only touches the
+    sliced-away columns; the global edge shards receive genuine zeros from
+    ppermute).
+
+    stride 1: 1-col halo each side, slice [1:-1].
+    stride 2 (XLA SAME pads left 0 / right 1 for even W): a single RIGHT
+    halo column + VALID conv — the output is already exact.
+
+    A PendingBN input is MATERIALIZED before the exchange: the halo must
+    live in the activated domain (the global edge shards receive ppermute
+    zeros, and the unsharded kernels' SAME padding is zero *post*-activation
+    — exchanging raw values would turn those pad columns into relu(bias)).
+    Width-sharded meshes therefore trade the producer-BN ingest fusion for
+    exactness. In-kernel BN stats are never requested here either (they
+    would count the halo columns); the consumer BN computes stats on the
+    exact-width tensor and psums them over the mesh axes.
+    """
+    if isinstance(x, PendingBN):
+        x = x.materialize()
+    if stride_w == 1:
+        x = width_halo_exchange(x, width_axis)
+        y, _ = conv3x3_bhcw_consume(x, kernel, 1, use_pallas,
+                                    want_stats=False)
+        return y[..., 1:-1]
+    n = _axis_size_static(width_axis)
+    if n == 1:
+        right = jnp.zeros_like(x[..., :1])
+    else:
+        right = jax.lax.ppermute(
+            x[..., :1], width_axis, [(i + 1, i) for i in range(n - 1)]
+        )
+    x_ext = jnp.concatenate([x, right], axis=-1)
+    return jax.lax.conv_general_dilated(
+        x_ext, kernel, (1, stride_w),
+        padding=((1, 1), (0, 0)),  # vertical SAME, horizontal VALID
+        dimension_numbers=("NHCW", "HWIO", "NHCW"),
+    )
 
 
 def conv1x1_bhcw(xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
@@ -408,12 +488,20 @@ class ConvNormRelu(nn.Module):
     # XLA matmul consumers fuse the materialize for free)
     emit_pending: bool = False
     bn_sync_axis: Any = None
+    # width_axis: name of a bound mesh axis the range-image width is sharded
+    # over (shard_map width sharding) — 3x3 convs then exchange 1-column
+    # halos with the neighboring shards (width_halo_exchange) instead of
+    # relying on GSPMD's automatic halo insertion; bhcw layout only
+    width_axis: Any = None
 
     @nn.compact
     def __call__(self, x: MaybePending):
         if self.layout in PLANAR_LAYOUTS:
             assert self.strides[0] == 1 and self.strides[1] in (1, 2)
             ch_ax = channel_axis_of(self.layout)
+            wax = self.width_axis if not self.is_initializing() else None
+            if wax is not None:
+                assert self.layout == "bhcw", "width sharding is bhcw-only"
             fused_in = isinstance(x, PendingBN) and self.layout == "bhcw"
             if isinstance(x, PendingBN) and not fused_in:
                 x = x.materialize()
@@ -438,6 +526,13 @@ class ConvNormRelu(nn.Module):
                     x = conv3x3_planar_core(
                         x.astype(self.dtype), k.astype(self.dtype),
                         self.strides[1]
+                    )
+                elif wax is not None:
+                    if not fused_in:
+                        x = x.astype(self.dtype)
+                    x = conv3x3_bhcw_width_sharded(
+                        x, k.astype(self.dtype), self.strides[1],
+                        self.use_pallas, wax,
                     )
                 else:
                     if not fused_in:
@@ -491,6 +586,7 @@ class DeconvNormRelu(nn.Module):
     use_running_average: bool = False
     layout: str = "nhwc"
     bn_sync_axis: Any = None
+    width_axis: Any = None  # see ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, x):
@@ -504,7 +600,21 @@ class DeconvNormRelu(nn.Module):
                 jnp.float32,
             )
             dc = deconv_planar if self.layout == "planar" else deconv_bhcw
-            x = dc(x.astype(self.dtype), k.astype(self.dtype), self.strides[1])
+            wax = self.width_axis if not self.is_initializing() else None
+            if wax is not None:
+                # width shard: exchange a J+2-column halo (the phase
+                # decomposition's own zero-pad margin, deconv_bhcw), run the
+                # unmodified deconv on the extended slice, slice s·(J+2)
+                # output columns — interior outputs are exact
+                assert self.layout == "bhcw", "width sharding is bhcw-only"
+                s = self.strides[1]
+                halo = self.kernel[1] // s + 2
+                x = width_halo_exchange(x.astype(self.dtype), wax, halo)
+                x = dc(x, k.astype(self.dtype), s)
+                x = x[..., s * halo : -s * halo]
+            else:
+                x = dc(x.astype(self.dtype), k.astype(self.dtype),
+                       self.strides[1])
             x = BatchNorm(
                 self.use_running_average, self.dtype, channel_axis=ch_ax,
                 sync_axis=self.bn_sync_axis, name="bn",

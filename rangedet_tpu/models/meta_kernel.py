@@ -36,6 +36,7 @@ class MetaKernel(nn.Module):
     # the boundary copies cost more than the op itself). The parameter tree
     # is identical across layouts: init always runs the NHWC formulation.
     layout: str = "nhwc"
+    width_axis: Any = None  # see layers.ConvNormRelu.width_axis
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +52,19 @@ class MetaKernel(nn.Module):
                 # create the identical Dense params via the NHWC math
                 out = self._nhwc(jnp.transpose(feat, (0, 1, 3, 2)), coords)
                 return jnp.transpose(out, (0, 1, 3, 2))
+            if self.width_axis is not None:
+                # width shard: 1-col halo on feat AND coords (the neighbor
+                # taps and their relative coordinates cross the boundary),
+                # run the unmodified op, slice the interior — exact
+                from .layers import width_halo_exchange
+
+                cb = jnp.transpose(coords, (0, 1, 3, 2))
+                feat_e = width_halo_exchange(feat, self.width_axis)
+                cb_e = width_halo_exchange(cb, self.width_axis)
+                out = self._bhcw(feat_e, jnp.transpose(cb_e, (0, 1, 3, 2)))
+                return out[..., 1:-1]
             return self._bhcw(feat, coords)
+        assert self.width_axis is None, "width sharding is bhcw-only"
         return self._nhwc(feat, coords)
 
     def _bhcw(self, feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

@@ -167,11 +167,16 @@ def generate_dense_targets(
     assignment: jnp.ndarray,
     label_set: Sequence[int],
     reg_dim_weights: Sequence[float],
+    count_sync_axis=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full-resolution dense targets for one frame (channels-last (H, W, C)).
 
     Combines reg targets, per-dim weights, 1/N normalization weights and the
     class-aware expansion, mirroring GenerateTarget.apply (input.py:346-393).
+
+    count_sync_axis: bound mesh axis the frame WIDTH is sharded over — the
+    per-box point counts (the 1/N weights' denominators) are then psum'd so
+    every shard normalizes by the box's GLOBAL point count.
     """
     H, W = points_hw3.shape[:2]
     N = H * W
@@ -194,6 +199,8 @@ def generate_dense_targets(
         & assigned[:, None]
     ).astype(jnp.float32)  # (N, M)
     counts = jnp.sum(onehot_box, axis=0)  # (M,) points per box
+    if count_sync_axis is not None:
+        counts = jax.lax.psum(counts, count_sync_axis)
 
     mapping = jnp.zeros((8,), jnp.int32)
     for i, label in enumerate(label_set):

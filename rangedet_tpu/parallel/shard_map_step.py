@@ -29,17 +29,28 @@ from .mesh import batch_spec
 
 
 def make_shard_map_train_step(model, cfg, mesh: Mesh):
-    """Returns train_step(state, batch) with batch sharded over "data";
-    jit-compatible; params replicated. BN semantics per the model's
-    bn_sync_axis (see module docstring)."""
+    """Returns train_step(state, batch) with batch sharded over "data" (and,
+    when the mesh has a "model" axis with cfg.width_axis set, the range-image
+    WIDTH sharded over "model" — the convs exchange explicit halos, see
+    layers.width_halo_exchange); jit-compatible; params replicated. BN
+    semantics per the model's bn_sync_axis (see module docstring)."""
     from jax.experimental.shard_map import shard_map
 
-    # sync mode: the model was built with bn_sync_axis="data"; losses then
-    # also normalize over the GLOBAL batch (psum'd numerator/denominator),
-    # and each shard's grad is a partial of the same global objective — so
-    # gradients pSUM (not pmean). The result is bit-equivalent (up to psum
-    # reassociation) to the GSPMD sync-BN step (tests/test_shard_map_bn.py).
+    # sync mode: the model was built with bn_sync_axis covering the mesh
+    # axes; losses then also normalize over the GLOBAL batch (psum'd
+    # numerator/denominator), and each shard's grad is a partial of the same
+    # global objective — so gradients pSUM (not pmean). The result is
+    # bit-equivalent (up to psum reassociation) to the GSPMD sync-BN step
+    # (tests/test_shard_map_bn.py, tests/test_width_shard.py).
     sync = getattr(model, "bn_sync_axis", None)
+    width = getattr(model, "width_axis", None)
+    axes = tuple(mesh.axis_names) if width is not None else ("data",)
+    if width is not None:
+        assert sync is not None, (
+            "width-sharded shard_map requires sync BN/loss semantics "
+            "(per-shard localbn over a partial frame is not the reference's "
+            "per-replica BN)"
+        )
 
     def loss_fn(params, batch_stats, batch):
         targets = build_train_targets(batch, cfg)
@@ -62,14 +73,14 @@ def make_shard_map_train_step(model, cfg, mesh: Mesh):
         if sync is not None:
             # per-shard grads/metrics are partials of the global objective
             # (local numerators over the psum'd normalizer) — sum them
-            grads = jax.lax.psum(grads, "data")
-            metrics = jax.lax.psum(metrics, "data")
+            grads = jax.lax.psum(grads, axes)
+            metrics = jax.lax.psum(metrics, axes)
         else:
-            grads = jax.lax.pmean(grads, "data")
-            metrics = jax.lax.pmean(metrics, "data")
+            grads = jax.lax.pmean(grads, axes)
+            metrics = jax.lax.pmean(metrics, axes)
         # epoch-end aux allreduce of the reference, done per step (identical
         # across shards already in sync mode)
-        new_stats = jax.lax.pmean(new_stats, "data")
+        new_stats = jax.lax.pmean(new_stats, axes)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, metrics
 

@@ -58,13 +58,30 @@ def build_train_step_fn(model, cfg, mesh=None):
       and BN statistics follow cfg.sync_bn: True → in-model psum of the
       stat sums (build the model with cfg.bn_sync_axis="data"); False → the
       reference's per-replica "localbn" (mxnext/complicate.py:55-66);
-    * width-sharded ("model" axis) meshes: the GSPMD step — XLA inserts the
-      conv halo exchanges automatically (Pallas must be off; the trainer
-      clears use_pallas_* for this mesh shape).
+    * width-sharded ("model" axis) meshes: with ``cfg.width_axis`` set the
+      shard_map step handles these too — every conv/deconv/Meta-Kernel
+      exchanges explicit width halos (layers.width_halo_exchange), so the
+      Pallas kernels keep running; without it, the GSPMD step — XLA inserts
+      the conv halo exchanges automatically (Pallas must be off; the trainer
+      clears use_pallas_* for that mesh shape).
 
     Returns an unjitted step tagged with ``.bn_semantics``."""
     multi = mesh is not None and mesh.size > 1
     width_sharded = multi and mesh.shape.get("model", 1) > 1
+    width_manual = width_sharded and getattr(cfg, "width_axis", None)
+    if width_manual:
+        from ..parallel.shard_map_step import make_shard_map_train_step
+
+        want = tuple(mesh.axis_names)
+        if tuple(getattr(model, "bn_sync_axis", ()) or ()) != want:
+            raise ValueError(
+                "width-sharded shard_map path: build the model from "
+                f"cfg.replace(bn_sync_axis={want!r}, width_axis="
+                f"{cfg.width_axis!r}) (tools/train.py does this)"
+            )
+        fn = make_shard_map_train_step(model, cfg, mesh)
+        fn.bn_semantics = "sync"
+        return fn
     if not multi or width_sharded:
         if not cfg.sync_bn:
             if not multi:

@@ -146,3 +146,33 @@ def test_prefetch_pipeline():
 
     with pytest.raises(ValueError, match="boom"):
         list(threaded_prefetch(boom(), depth=2))
+
+
+def test_synthetic_device_raytrace_consistency():
+    """On-device generator (data/synthetic_device.py): same invariants as
+    the numpy raytracer — every painted pixel's point strictly inside its GT
+    cuboid, census equality, oriented boxes, finite normalized inputs."""
+    import jax
+    import jax.numpy as jnp
+    from rangedet_tpu.data.synthetic_device import make_batch_device
+    from rangedet_tpu.ops import assigner, boxes
+
+    b = make_batch_device(
+        jax.random.PRNGKey(3), B=2, H=32, W=256, pad_w=256, max_gt=16,
+        num_boxes=5,
+    )
+    assert np.isfinite(np.asarray(b["input_data"])).all()
+    for f in range(2):
+        corners8 = boxes.csa_to_corners3d(b["gt_csa"][f])
+        idx = np.asarray(
+            assigner.assign_points_to_boxes(
+                jnp.asarray(b["pc"][f].reshape(-1, 3)), corners8,
+                jnp.asarray(b["mask"][f].reshape(-1)),
+                box_valid=b["gt_valid"][f],
+            )
+        )
+        counts = np.bincount(idx[idx >= 0], minlength=16).astype(np.float32)
+        np.testing.assert_array_equal(counts, np.asarray(b["gt_num_points"][f]))
+        gt = np.asarray(b["gt_csa"][f][:5])
+        assert (gt[:, 3] > gt[:, 4]).all()  # l > w: yaw identifiable
+        assert counts[:5].sum() > 0

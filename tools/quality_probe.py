@@ -58,8 +58,7 @@ def main():
     import numpy as np
 
     from rangedet_tpu.configs import load_config
-    from rangedet_tpu.data.prefetch import pool_map_prefetch
-    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.data.synthetic_device import make_batch_device
     from rangedet_tpu.eval.ap import average_precision, waymo_metrics
     from rangedet_tpu.models import RangeDet
     from rangedet_tpu.models.convert import convert_params
@@ -92,16 +91,30 @@ def main():
         begin_epoch=0, end_epoch=max(1, args.steps // 1000),
     )
 
-    def gen_batch(step_i):
-        return make_batch(cfg, B, seed=args.seed * 10_000_000 + step_i,
-                          num_boxes=args.boxes, style="vehicles")
+    # scenes are RAYTRACED ON DEVICE (data/synthetic_device.py): the fused
+    # generate+train step consumes a genuinely fresh scene every step with
+    # zero host↔device traffic (a host-generated batch costs ~2 s/step in
+    # transfer alone on the tunneled dev backend, 20× the train step)
+    H, W = cfg.feat_size
+    gen_kw = dict(B=B, H=H, W=W, pad_w=cfg.pad_field[1],
+                  max_gt=cfg.max_gt_boxes, num_boxes=args.boxes)
 
-    batch0 = make_batch(cfg, B, seed=HOLDOUT_SEED0 - 1, num_boxes=args.boxes,
-                        style="vehicles")
+    def gen(key):
+        return make_batch_device(key, **gen_kw)
+
+    batch0 = jax.device_get(gen(jax.random.PRNGKey(999_999)))
     model = RangeDet(**cfg.model_kwargs())
     tx, _ = build_optimizer(cfg_opt, steps_per_epoch=1000)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch0)
-    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+    base_step = make_train_step(model, cfg)
+
+    base_key = jax.random.PRNGKey(args.seed)
+
+    def step_with_data(state, step_i):
+        key = jax.random.fold_in(base_key, step_i)
+        return base_step(state, make_batch_device(key, **gen_kw))
+
+    train_step = jax.jit(step_with_data, donate_argnums=0)
 
     eval_model = (
         RangeDet(**cfg_t.model_kwargs()) if cfg_t.layout != cfg.layout else model
@@ -109,13 +122,17 @@ def main():
     eval_step = jax.jit(make_eval_step(eval_model, cfg_t))
     prep = jax.jit(lambda b: build_eval_inputs(b, cfg_t))
 
-    # fixed held-out scenes, batched for the eval step
+    # fixed held-out scenes (device-generated with reserved keys disjoint
+    # from the training stream), batched for the eval step
     EB = args.eval_batch
     holdout = []
+    ekw = dict(gen_kw, B=EB)
     for i in range(0, args.holdout_frames, EB):
-        hb = make_batch(cfg_t, EB, seed=HOLDOUT_SEED0 + i, num_boxes=args.boxes,
-                        style="vehicles")
-        holdout.append((prep({k: jnp.asarray(v) for k, v in hb.items()}), hb))
+        hb_dev = make_batch_device(
+            jax.random.PRNGKey(HOLDOUT_SEED0 + i), **ekw
+        )
+        hb = jax.device_get(hb_dev)  # gt arrays for the AP evaluator
+        holdout.append((prep(hb_dev), hb))
 
     def run_eval(state):
         if cfg_t.layout != cfg.layout:
@@ -149,9 +166,8 @@ def main():
         }
 
     t0 = time.time()
-    stream = pool_map_prefetch(gen_batch, range(args.steps), workers=6, depth=8)
-    for step_i, batch_np in enumerate(stream, start=1):
-        state, m = train_step(state, {k: jnp.asarray(v) for k, v in batch_np.items()})
+    for step_i in range(1, args.steps + 1):
+        state, m = train_step(state, np.int32(step_i))
         if step_i % args.log_every == 0:
             rec = {"step": step_i, "loss": round(float(m["total_loss"]), 4),
                    "s_per_step": round((time.time() - t0) / step_i, 3)}

@@ -36,6 +36,10 @@ def parse_args():
                    help="resume from the latest checkpoint")
     p.add_argument("--mesh", default=None,
                    help="mesh spec like 'data=4,model=2' (default: all on data)")
+    p.add_argument("--gspmd-width", action="store_true",
+                   help="width-sharded meshes: use GSPMD auto-partitioning "
+                        "(XLA convs) instead of the shard_map halo-exchange "
+                        "path that keeps the Pallas kernels")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps at step 10")
     p.add_argument("--num-workers", type=int, default=8)
@@ -94,12 +98,27 @@ def main():
     # ------------------------------------------------------- multi-chip path
     # data-only meshes train under shard_map (manual sharding — required for
     # the Pallas kernels; sync-BN via in-model psum of the stat sums).
-    # width ("model"-axis) sharding needs GSPMD's automatic conv halo
-    # exchange, where pallas_call cannot ride the partitioner — fall back to
-    # the XLA conv formulations there.
+    # width ("model"-axis) sharding: the shard_map step with explicit conv
+    # halo exchange (layers.width_halo_exchange) keeps the Pallas kernels
+    # running; --gspmd-width falls back to GSPMD's automatic halo insertion
+    # (XLA conv formulations, Pallas off).
     width_sharded = mesh.shape.get("model", 1) > 1
     if mesh.size > 1 and not width_sharded:
         cfg = cfg.replace(bn_sync_axis="data" if cfg.sync_bn else None)
+    elif width_sharded and not args.gspmd_width:
+        if not cfg.sync_bn:
+            logger.info("width sharding forces sync-BN semantics")
+        shard_w = cfg.pad_field[1] // mesh.shape["model"]
+        assert shard_w % max(cfg.fpn_strides) == 0, (
+            "width shards must stay phase-aligned with the FPN strides"
+        )
+        cfg = cfg.replace(
+            width_axis="model", sync_bn=True,
+            bn_sync_axis=tuple(mesh.axis_names),
+        )
+        if cfg.layout != "bhcw":
+            logger.info("width sharding requires bhcw layout; switching")
+            cfg = cfg.replace(layout="bhcw")
     elif width_sharded and (cfg.use_pallas_conv or cfg.use_pallas_meta):
         logger.info(
             "width-sharded mesh: disabling Pallas kernels (GSPMD path)"
