@@ -21,6 +21,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: compile-heavy test (several minutes on the virtual-CPU "
+        "platform); the fast inner-loop tier is `pytest -m 'not heavy'` "
+        "(~10 min) — the default full run remains the pre-commit/CI gate",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -1,4 +1,5 @@
 """AP evaluator sanity: perfect detections -> AP 1, misses -> lower."""
+import pytest
 import numpy as np
 
 from rangedet_tpu.eval.ap import average_precision, match_frame
@@ -125,6 +126,7 @@ def test_waymo_l1_l2_split(rng):
     assert res3["L2"]["ap"] > 0.99
 
 
+@pytest.mark.heavy
 def test_evaluate_wod_operating_point(rng):
     # run_validation's defaults (tools/train.py): per-class 3D-IoU
     # thresholds through the in-process evaluator on the fused eval path

@@ -1,6 +1,7 @@
 """Pallas (B,H,C,W) conv3x3 kernels (ops/conv_pallas.py) and the "bhcw"
 model layout: kernel fwd/dgrad/wgrad vs the XLA conv oracle, and full-model
 bhcw <-> nhwc equivalence (the bhcw XLA fallback path used off-TPU)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +93,7 @@ def test_deconv_bhcw_matches_planar():
         )
 
 
+@pytest.mark.heavy
 def test_bhcw_model_matches_nhwc():
     cfg_b = tiny_config().replace(layout="bhcw")
     cfg_n = tiny_config().replace(layout="nhwc")

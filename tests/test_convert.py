@@ -1,5 +1,6 @@
 """Cross-layout (planar <-> nhwc) parameter conversion: exact tree match,
 matching model outputs, exact roundtrip."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ from rangedet_tpu.models.convert import convert_params
 from tiny import tiny_config
 
 
+@pytest.mark.heavy
 def test_layout_conversion_equivalence():
     cfg_p = tiny_config().replace(layout="planar")
     cfg_n = tiny_config().replace(layout="nhwc")

@@ -66,6 +66,7 @@ def _ap(cfg, params, batch_stats, batch, batch_np, layout=None):
     return average_precision(frames, iou_thresh=0.3, mode="bev")
 
 
+@pytest.mark.heavy
 def test_overfit_ap_and_layout_conversion():
     """CI-sized: detections emerge (AP > 0.5 from ~0) and converting the
     trained checkpoint to another layout leaves AP intact."""
@@ -88,6 +89,7 @@ def test_overfit_ap_and_layout_conversion():
     "RANGEDET_RUN_SLOW" not in os.environ,
     reason="longer overfit; set RANGEDET_RUN_SLOW=1",
 )
+@pytest.mark.heavy
 def test_overfit_synthetic_ap_dense():
     cfg, state, batch, batch_np = _overfit_and_eval(num_boxes=5, steps=600)
     res = _ap(cfg, state.params, state.batch_stats, batch, batch_np)

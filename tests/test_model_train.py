@@ -42,6 +42,7 @@ def test_forward_shapes(setup):
     assert param_count(state) > 1e4
 
 
+@pytest.mark.heavy
 def test_train_step_loss_decreases(setup):
     cfg, model, state, batch = setup
     step = jax.jit(make_train_step(model, cfg))
@@ -63,6 +64,7 @@ def test_train_step_deterministic(setup):
     assert float(m1["total_loss"]) == float(m2["total_loss"])
 
 
+@pytest.mark.heavy
 def test_batch_stats_update(setup):
     cfg, model, state, batch = setup
     step = jax.jit(make_train_step(model, cfg))

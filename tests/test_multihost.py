@@ -49,6 +49,7 @@ def _single_process_reference():
     return losses
 
 
+@pytest.mark.heavy
 def test_two_process_distributed_matches_single_process():
     port = "29781"
     env = dict(os.environ)

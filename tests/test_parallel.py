@@ -45,6 +45,7 @@ def test_data_parallel_4x(setup):
     assert np.isfinite(m["total_loss"])
 
 
+@pytest.mark.heavy
 def test_data_model_mesh_4x2(setup):
     """dp=4 × width-sharding=2 — the full tp/sp-analog mesh."""
     cfg, model, state, batch_np = setup
@@ -53,6 +54,7 @@ def test_data_model_mesh_4x2(setup):
     assert np.isfinite(m["total_loss"])
 
 
+@pytest.mark.heavy
 def test_sharded_matches_single_device(setup):
     """GSPMD-sharded loss must equal the single-device loss bit-for-bit-ish."""
     cfg, model, state, batch_np = setup
@@ -65,6 +67,7 @@ def test_sharded_matches_single_device(setup):
     ), (m1, m4)
 
 
+@pytest.mark.heavy
 def test_graft_entry_dryrun():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,5 +1,6 @@
 """Local-BN shard_map step runs, and its loss matches the GSPMD step at step 0
 (identical params ⇒ only BN statistics scope differs)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ from rangedet_tpu.train.train_step import make_train_step
 from tiny import tiny_config
 
 
+@pytest.mark.heavy
 def test_local_bn_step_runs_and_differs_from_sync():
     cfg = tiny_config()
     batch_np = make_batch(cfg, batch_size=4, seed=3, num_boxes=4)
@@ -48,6 +50,7 @@ def test_local_bn_step_runs_and_differs_from_sync():
     assert float(m2["total_loss"]) < a
 
 
+@pytest.mark.heavy
 def test_shard_map_sync_bn_matches_gspmd():
     # With bn_sync_axis="data" the shard_map step's in-model psum'd BN
     # statistics are GLOBAL — it must match the GSPMD sync-BN step on the

@@ -1,5 +1,6 @@
 """End-to-end Waymo data path: fabricated npz/roidb files on disk -> roidb
 loading -> record_to_inputs -> BatchLoader -> one jitted train step."""
+import pytest
 import sys
 import os
 import pickle
@@ -88,6 +89,7 @@ def test_waymo_roidb_to_train_step(tmp_path, rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.heavy
 def test_multiclass_train_decreases(rng):
     from rangedet_tpu.data.synthetic import make_batch
 

@@ -7,6 +7,7 @@ round-2 #4). Exactness is proven two ways:
 * step level: the full width-sharded train step ({data:2, model:2}) matches
   the GSPMD sync-BN step on the same params/batch in f32.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,7 @@ def test_halo_exchange_pallas_conv_matches_unsharded(rng):
     )
 
 
+@pytest.mark.heavy
 def test_width_sharded_step_matches_gspmd():
     """Full train step on a {data:2, model:2} mesh via the shard_map
     halo-exchange path == the GSPMD sync-BN step (f32; same params/batch).

@@ -171,6 +171,8 @@ def main():
         if step_i % args.log_every == 0:
             rec = {"step": step_i, "loss": round(float(m["total_loss"]), 4),
                    "s_per_step": round((time.time() - t0) / step_i, 3)}
+            rec.update({k: round(float(v), 4) for k, v in m.items()
+                        if k != "total_loss"})
             if step_i % args.eval_every == 0 or step_i == args.steps:
                 rec.update(run_eval(state))
             print(json.dumps(rec), flush=True)
