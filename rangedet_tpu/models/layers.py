@@ -266,22 +266,53 @@ def width_halo_exchange(x: jnp.ndarray, axis_name, h: int = 1) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=-1)
 
 
+def conv3x3_stride2_phase(
+    xb: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """SAME stride-(1,2) 3x3 conv as a PHASE-PACKED stride-1 Pallas conv.
+
+    With E[u] = x[2u], O[u] = x[2u+1] (even/odd lane phases), the strided
+    conv (SAME pads (0,1) for even W) is exactly
+
+        y[u] = w[:,0]·E[u] + w[:,1]·O[u] + w[:,2]·E[u+1]
+
+    i.e. a stride-1 3x3 conv over the channel-stacked [E;O] input with the
+    packed kernel  w'[:,1] = [w[:,0]; w[:,1]],  w'[:,2] = [w[:,2]; 0],
+    w'[:,0] = 0 — the right-edge zero pad of the packed conv reproduces the
+    strided conv's x[W] pad. This reuses the tested fwd/dgrad/wgrad Pallas
+    suite (custom VJP included) instead of the native lax.conv emitter,
+    which sustains only ~7 TF/s on these shapes (profiled; BENCH.md r3).
+    """
+    B, H, Ci, W = xb.shape
+    Co = kernel.shape[-1]
+    x2 = jnp.concatenate(
+        [xb[..., 0::2], xb[..., 1::2]], axis=2
+    )  # (B, H, 2Ci, W/2)
+    kp = jnp.zeros((3, 3, 2 * Ci, Co), kernel.dtype)
+    kp = kp.at[:, 1, :Ci].set(kernel[:, 0])
+    kp = kp.at[:, 1, Ci:].set(kernel[:, 1])
+    kp = kp.at[:, 2, :Ci].set(kernel[:, 2])
+    return conv3x3_pallas(x2, kp, None, interpret)
+
+
 def conv3x3_bhcw_best(
     xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas kernel for stride-1 on TPU; native lax.conv in NHCW
-    for strided convs (the shifted-einsum form is 5-10x slower there: the
-    strided lane slices defeat the fusion emitter — profiled on v5e); the
-    einsum form remains the CPU/interpret fallback."""
+    """Dispatch: Pallas kernel for stride-1 on TPU; phase-packed Pallas for
+    stride 2 (see conv3x3_stride2_phase; the native lax.conv emitter manages
+    ~7 TF/s there); the shifted-einsum form is the CPU/interpret fallback."""
+    pallas_ok = (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
+    )
     if stride_w == 1:
-        if (
-            use_pallas
-            and jax.default_backend() == "tpu"
-            and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
-        ):
+        if pallas_ok:
             return conv3x3_pallas(xb, kernel)
         return conv3x3_bhcw_xla(xb, kernel, stride_w)
+    if pallas_ok and stride_w == 2 and xb.shape[3] % 2 == 0:
+        return conv3x3_stride2_phase(xb, kernel)
     if jax.default_backend() == "tpu":
         return jax.lax.conv_general_dilated(
             xb, kernel, (1, stride_w), "SAME",
@@ -314,6 +345,30 @@ def conv3x3_bhcw_consume(
                 )
                 return y, (s1, s2)
             return conv3x3_bnrelu_bhcw(x.y, kernel, x.scale, x.bias), None
+        if (
+            stride_w == 2
+            and use_pallas
+            and jax.default_backend() == "tpu"
+            and x.y.shape[3] % 2 == 0
+            and h % _pick_rows_per_step(2 * c, h) == 0
+        ):
+            # phase-packed strided conv keeps the producer-BN ingest fusion:
+            # the even/odd phases carry the same channels, so the per-channel
+            # fold simply tiles (see conv3x3_stride2_phase)
+            Ci, Co = c, kernel.shape[-1]
+            x2 = jnp.concatenate(
+                [x.y[..., 0::2], x.y[..., 1::2]], axis=2
+            )
+            kp = jnp.zeros((3, 3, 2 * Ci, Co), kernel.dtype)
+            kp = kp.at[:, 1, :Ci].set(kernel[:, 0])
+            kp = kp.at[:, 1, Ci:].set(kernel[:, 1])
+            kp = kp.at[:, 2, :Ci].set(kernel[:, 2])
+            s2x = jnp.concatenate([x.scale, x.scale])
+            b2x = jnp.concatenate([x.bias, x.bias])
+            if want_stats:
+                y, s1, s2 = conv3x3_bnrelu_stats_bhcw(x2, kp, s2x, b2x)
+                return y, (s1, s2)
+            return conv3x3_bnrelu_bhcw(x2, kp, s2x, b2x), None
         x = x.materialize()
     if (
         pallas_ok
@@ -420,6 +475,66 @@ def deconv_bhcw(
         phases.append(acc)
     out = jnp.stack(phases, axis=-1)  # (B, H, Co, W, s)
     return out.reshape(B, H, Co, W * s)
+
+
+def deconv_bhcw_phase_conv(
+    xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SAME transposed conv (kh=3, kw=2s) as ONE phase-packed stride-1
+    Pallas conv at the LOW resolution + a lane interleave.
+
+    Each output phase p (columns p, p+s, …) of the deconv is a (3 × 2)-tap
+    convolution of the input whose column offsets lie in {-1, 0, +1}, so all
+    s phases pack into a single 3x3 conv with output channels s·Co:
+
+        y2 = conv3x3(x, Kp),  Kp[dy, off+1, :, p·Co:(p+1)·Co] = k[dy, kw-1-k_idx]
+
+    (offsets/taps from the phase decomposition of deconv_bhcw; the conv's
+    SAME zero pad reproduces the deconv's out-of-range zeros). This rides
+    the tested Pallas conv suite — incl. its custom VJP; the kernel packing
+    and the interleave are differentiable, so gradients need no extra work.
+    Covers both shipped agg deconvs, (3,8)/s4 and (3,4)/s2
+    (reference dla_backbone.py:144-151).
+    """
+    B, H, Ci, W = xb.shape
+    kh, kw, _, Co = kernel.shape
+    s = stride_w
+    assert kh == 3 and kw == 2 * s, (kh, kw, s)
+    pad = (kw - s) // 2
+    J = kw // s
+    kp = jnp.zeros((3, 3, Ci, s * Co), kernel.dtype)
+    for p in range(s):
+        k0 = (p + pad) % s
+        D = (p + pad - k0) // s
+        for j in range(J):
+            k_idx = k0 + j * s
+            off = D - j
+            assert -1 <= off <= 1, (p, j, off)
+            kp = kp.at[:, off + 1, :, p * Co : (p + 1) * Co].set(
+                kernel[:, kw - 1 - k_idx]
+            )
+    y2 = conv3x3_pallas(xb, kp, None, interpret)  # (B, H, s*Co, W)
+    y2 = y2.reshape(B, H, s, Co, W)
+    return jnp.transpose(y2, (0, 1, 3, 4, 2)).reshape(B, H, Co, W * s)
+
+
+def deconv_bhcw_best(
+    xb: jnp.ndarray, kernel: jnp.ndarray, stride_w: int,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Dispatch: phase-packed Pallas form on TPU (kh=3, kw=2s shapes — all
+    shipped recipes), phase-decomposed einsums otherwise."""
+    kh, kw = kernel.shape[:2]
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and kh == 3
+        and kw == 2 * stride_w
+        and xb.shape[1] % _pick_rows_per_step(xb.shape[2], xb.shape[1]) == 0
+    ):
+        return deconv_bhcw_phase_conv(xb, kernel, stride_w)
+    return deconv_bhcw(xb, kernel, stride_w)
 
 
 def deconv_planar(
@@ -599,7 +714,10 @@ class DeconvNormRelu(nn.Module):
                 self.kernel + (x.shape[ch_ax], self.features),
                 jnp.float32,
             )
-            dc = deconv_planar if self.layout == "planar" else deconv_bhcw
+            if self.layout == "planar":
+                dc = deconv_planar
+            else:
+                dc = lambda x, k, s: deconv_bhcw_best(x, k, s)
             wax = self.width_axis if not self.is_initializing() else None
             if wax is not None:
                 # width shard: exchange a J+2-column halo (the phase
