@@ -15,11 +15,13 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
     PLANAR_LAYOUTS,
     BatchNorm,
+    BatchNormFold,
     ConvNormRelu,
     DeconvNormRelu,
     PendingBN,
@@ -83,6 +85,13 @@ class MetaBlock(nn.Module):
     def __call__(self, x, coords, train: bool = True):
         ura = not train
         bhcw = self.layout == "bhcw"
+        if (
+            bhcw
+            and self.use_pallas
+            and self.width_axis is None
+            and not self.is_initializing()
+        ):
+            return self._bhcw_fused(x, coords, ura)
         mk = MetaKernel(
             channel_list=tuple(self.channel_list),
             dtype=self.dtype,
@@ -116,6 +125,39 @@ class MetaBlock(nn.Module):
             use_running_average=ura, bn_sync_axis=self.bn_sync_axis,
             name="meta_agg",
         )(mk)
+
+    def _bhcw_fused(self, x, coords, ura):
+        """Fully-fused block: the (B, H, 9C, W) weighted-neighborhood tensor
+        never touches HBM (ops/meta_block_pallas.py). Pass A accumulates the
+        meta_bn statistic sums in-kernel; the fold runs in BatchNormFold
+        (same param paths as the unfused BatchNorm, checkpoints
+        interchangeable); pass B recomputes the taps and contracts straight
+        into the meta_agg 1×1 conv."""
+        from ..ops.meta_block_pallas import meta_agg_bhcw, meta_stats_bhcw
+
+        B, H, C, W = x.shape
+        interpret = jax.default_backend() != "tpu"
+        p = self.variables["params"]["meta_kernel"]
+        d = self.dtype
+        w0 = p["mlp0"]["kernel"].astype(d)
+        b0 = p["mlp0"]["bias"].astype(d)
+        w1 = p["mlp1"]["kernel"].astype(d)
+        b1 = p["mlp1"]["bias"].astype(d)
+        agg = self.variables["params"]["meta_agg"]["conv"]["kernel"]
+        agg = agg[0, 0].astype(d)  # (9C, Co)
+        cb = jnp.transpose(coords, (0, 1, 3, 2)).astype(x.dtype)
+        if ura:
+            s1 = s2 = jnp.zeros((9 * C,), jnp.float32)
+        else:
+            s1, s2 = meta_stats_bhcw(x, cb, w0, b0, w1, b1, interpret)
+        s9, b9 = BatchNormFold(
+            ura, sync_axis=self.bn_sync_axis, name="meta_bn"
+        )(s1, s2, float(B * H * W))
+        y = meta_agg_bhcw(x, cb, w0, b0, w1, b1, s9, b9, agg, interpret)
+        y = BhcwMetaAggBN(
+            ura, self.dtype, self.bn_sync_axis, name="meta_agg"
+        )(y)
+        return nn.relu(y)
 
 
 class BasicBlock(nn.Module):

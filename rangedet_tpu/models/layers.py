@@ -141,6 +141,50 @@ class BatchNorm(nn.Module):
         return x.astype(self.dtype) * mul + add
 
 
+class BatchNormFold(nn.Module):
+    """BatchNorm that consumes per-channel sums directly and returns only
+    the f32 fold (scale, bias) — for ops that apply the normalization
+    inside a kernel without materializing the tensor (the fused Meta-Kernel
+    block, ops/meta_block_pallas.py). Parameter/stat names match BatchNorm
+    exactly, so checkpoints are interchangeable with the unfused path.
+    """
+
+    use_running_average: bool
+    sync_axis: Any = None
+
+    @nn.compact
+    def __call__(self, s1, s2, count):
+        C = s1.shape[0]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        sync = self.sync_axis if not self.is_initializing() else None
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = count
+            if sync is not None:
+                s1 = jax.lax.psum(s1, sync)
+                s2 = jax.lax.psum(s2, sync)
+                n = n * jax.lax.psum(1, sync)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                )
+                ra_var.value = (
+                    BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+                )
+        inv = jax.lax.rsqrt(var + BN_EPSILON) * scale
+        return inv, bias - mean * inv
+
+
 def conv3x3_planar_core(
     xp: jnp.ndarray, kernel: jnp.ndarray, stride_w: int = 1
 ) -> jnp.ndarray:
