@@ -130,7 +130,14 @@ def make_frame_vehicles(
         length = rng.uniform(3.6, 5.4)
         width = rng.uniform(1.7, 2.1)
         height = rng.uniform(1.5, 2.0)
-        yaw = rng.uniform(-np.pi, np.pi)
+        # canonical yaw in [-pi/2, pi/2): a cuboid is pi-symmetric, so the
+        # heading *direction* is not recoverable from geometry — labeling it
+        # uniform over [-pi, pi) makes the cos/sin-Δyaw regression target
+        # bimodal (±) and the conditional mean degenerate, which caps
+        # held-out AP near zero while overfit runs still memorize it. The
+        # canonical range makes the target a function of the scene; box
+        # corners (and hence IoU) are unchanged by the convention.
+        yaw = rng.uniform(-np.pi / 2, np.pi / 2)
         cx = r * np.cos(incl_c) * np.cos(az_c)
         cy = r * np.cos(incl_c) * np.sin(az_c)
         cz = r * np.sin(incl_c)

@@ -79,7 +79,13 @@ def make_batch_device(
         length = jax.random.uniform(ks[6], (M,), jnp.float32, 3.6, 5.4)
         width = jax.random.uniform(ks[7], (M,), jnp.float32, 1.7, 2.1)
         height = jax.random.uniform(ks[8], (M,), jnp.float32, 1.5, 2.0)
-        yaw = jax.random.uniform(ks[9], (M,), jnp.float32, -jnp.pi, jnp.pi)
+        # canonical yaw in [-pi/2, pi/2) — see synthetic.py:make_frame_vehicles:
+        # cuboids are pi-symmetric, so a full-circle yaw label is unlearnable
+        # (bimodal Δyaw target) and held-out AP collapses; the canonical
+        # convention poses the same boxes with a well-defined target.
+        yaw = jax.random.uniform(
+            ks[9], (M,), jnp.float32, -jnp.pi / 2, jnp.pi / 2
+        )
         cx = r * jnp.cos(incl_c) * jnp.cos(az_c)
         cy = r * jnp.cos(incl_c) * jnp.sin(az_c)
         cz = r * jnp.sin(incl_c)
