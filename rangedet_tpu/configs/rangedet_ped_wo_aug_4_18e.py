@@ -9,6 +9,9 @@ def get_config(is_train: bool) -> RangeDetConfig:
         name="rangedet_ped_wo_aug_4_18e",
         is_train=is_train,
         layout="bhcw",  # bhcw fwd is 1.45x nhwc at eval B=4 too (BENCH.md round 2)
+        # fused Meta-Kernel block for training (train-only gate inside
+        # MetaBlock; eval keeps the einsum form — BENCH.md round 3)
+        use_pallas_meta=True,
         batch_image=2 if is_train else 1,
         label_set=(2,),
         class_names=("ped",),

@@ -73,6 +73,13 @@ class MetaBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    # pallas_eval: run the fused block at eval time too. Off by default —
+    # pass B recomputes the taps (2x the MXU work of the materialized
+    # einsum), which wins in training (it replaces 3-4 HBM traversals of
+    # the 782 MB 9C tensor; grad 47->39 ms measured) but loses at eval
+    # (one write + one fused read; 37->53 ms measured). Tests force it on
+    # to cover the eval kernel path.
+    pallas_eval: bool = False
     # layout="bhcw" computes the whole block in (B, H, C, W) with a param
     # tree IDENTICAL to the nhwc one (profiled: the nhwc round-trip cost
     # ~7 ms/step in pure layout copies of the 9C tensor). Other layouts take
@@ -90,6 +97,7 @@ class MetaBlock(nn.Module):
             and self.use_pallas
             and self.width_axis is None
             and not self.is_initializing()
+            and (train or self.pallas_eval)
         ):
             return self._bhcw_fused(x, coords, ura)
         mk = MetaKernel(

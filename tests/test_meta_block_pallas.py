@@ -26,7 +26,10 @@ def _setup(rng, dtype, B=2, H=8, W=40, C=16, Cm=8, Co=24):
         channel_list=(Cm, C), features=Co, layout="bhcw", dtype=dtype
     )
     ref = MetaBlock(use_pallas=False, **kw)
-    fus = MetaBlock(use_pallas=True, **kw)
+    # pallas_eval=True: the shipped gate runs the fused block only in
+    # training (recompute loses at eval), but the eval kernel path must
+    # still be covered
+    fus = MetaBlock(use_pallas=True, pallas_eval=True, **kw)
     params = jax.jit(ref.init, static_argnums=3)(
         jax.random.PRNGKey(0), feat, coords, True
     )

@@ -32,6 +32,10 @@ def tiny_config(name="rangedet_veh_wo_aug_4_18e", is_train=True, **overrides):
         # tests default to one layout to keep CPU compile time bounded; the
         # planar path is covered by test_convert + test_planar_* explicitly
         layout="nhwc",
+        # recipes ship the fused Meta-Kernel block (bhcw/TPU); in tiny CPU
+        # tests it would route the nhwc interpret kernel — covered instead
+        # by tests/test_meta_block_pallas.py / test_meta_kernel.py
+        use_pallas_meta=False,
     )
     defaults.update(overrides)
     return cfg.replace(**defaults)
