@@ -44,6 +44,26 @@ def _pick_rows_per_step(ci: int, h: int) -> int:
     return max(r, 1)
 
 
+def _fill(n: int) -> float:
+    """Fraction of the 128-wide MXU tiles a dimension of size n fills."""
+    return n / (-(-n // 128) * 128)
+
+
+def _pair_gain(ci: int, co: int) -> bool:
+    """Pack TWO output rows into one matmul when it fills the MXU better.
+
+    Row-major form: one (3dx*Co, 3dy*Ci) matmul per output row — for 64
+    channels that is M=K=192, i.e. 56% fill of the 128x128 MXU. Pair form:
+    (3dx*2*Co, 4dy*Ci) over the pair's 4-row input window — M=384/K=256
+    full tiles with 3/4 of the MACs useful (each output row uses 3 of the
+    4 window rows), so 64-ch effective utilization rises 0.5625 -> 0.75.
+    The same arithmetic (with M/N swapped) covers wgrad.
+    """
+    eff_row = _fill(3 * ci) * _fill(3 * co)
+    eff_pair = 0.75 * _fill(4 * ci) * _fill(6 * co)
+    return eff_pair > eff_row * 1.05
+
+
 def _ingest(rows, s_ref, b_ref):
     """Optional fused producer-BN: rows -> relu(rows * scale + bias).
 
@@ -71,7 +91,7 @@ def _ingest_cot(rows, y_rows, c1_ref, c2_ref):
 
 
 def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, cot,
-                out_dtype):
+                out_dtype, pair=False):
     refs = list(refs)
     x_ref, w_ref = refs[:2]
     refs = refs[2:]
@@ -127,34 +147,7 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, cot,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         not_first, not_last = lane > 0, lane < W - 1
 
-        w = w_ref[...]  # (3*Co, 3*Ci): dx stacked in M, dy folded into K
-        for r in range(R):
-            # The three vertical taps ride in the contraction dim (K = 3*Ci;
-            # the slab is row-contiguous, so the stack is a pure slice).
-            s = slab[r : r + 3].reshape(3 * Ci, W)
-            # Phase trick: the MXU sees only unshifted operands; the three
-            # horizontal taps accumulate into per-dx phases that are rolled
-            # *after* the matmul, in f32 (Mosaic cannot rotate bf16 lanes).
-            if Ci < 128:
-                # thin channels: fold the dx phases into M too — one
-                # (3Co, 3Ci) matmul per row (measured best below 128 ch)
-                acc_all = jax.lax.dot_general(
-                    w, s,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                accs = [acc_all[dx * Co : (dx + 1) * Co] for dx in range(3)]
-            else:
-                # wide channels: K = 3*Ci is already whole 128-passes; three
-                # separate (Co, 3Ci) matmuls pipeline better than one 3Co-tall
-                accs = [
-                    jax.lax.dot_general(
-                        w[dx * Co : (dx + 1) * Co], s,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    for dx in range(3)
-                ]
+        def emit_row(r, accs):
             # y[w] = acc1[w] + acc0[w-1] + acc2[w+1], SAME zero padding
             zero = jnp.zeros_like(accs[1])
             acc = accs[1]
@@ -183,6 +176,59 @@ def _fwd_kernel(*refs, R, G, Ci, Co, W, affine, bwd_affine, stats, cot,
                     yf = yb.astype(jnp.float32)
                     sum_ref[...] += jnp.sum(yf, axis=1, keepdims=True)
                     sq_ref[...] += jnp.sum(yf * yf, axis=1, keepdims=True)
+
+        w = w_ref[...]
+        if pair:
+            # Two output rows per matmul over their shared 4-row input
+            # window: (3dx*2*Co, 4dy*Ci) @ (4Ci, W) — full MXU tiles at
+            # 64 channels, 3/4 useful MACs (see _pair_gain). The packed
+            # weight's M order is dx-major then row (j) then Co.
+            for q in range(R // 2):
+                s = slab[2 * q : 2 * q + 4].reshape(4 * Ci, W)
+                acc_all = jax.lax.dot_general(
+                    w, s,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for j in range(2):
+                    emit_row(2 * q + j, [
+                        acc_all[(dx * 2 + j) * Co : (dx * 2 + j + 1) * Co]
+                        for dx in range(3)
+                    ])
+        else:
+            # w: (3*Co, 3*Ci) — dx stacked in M, dy folded into K
+            for r in range(R):
+                # The three vertical taps ride in the contraction dim
+                # (K = 3*Ci; the slab is row-contiguous, so the stack is a
+                # pure slice). Phase trick: the MXU sees only unshifted
+                # operands; the three horizontal taps accumulate into per-dx
+                # phases that are rolled *after* the matmul, in f32 (Mosaic
+                # cannot rotate bf16 lanes).
+                s = slab[r : r + 3].reshape(3 * Ci, W)
+                if Ci < 128:
+                    # thin channels: fold the dx phases into M too — one
+                    # (3Co, 3Ci) matmul per row (measured best below 128 ch)
+                    acc_all = jax.lax.dot_general(
+                        w, s,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    accs = [
+                        acc_all[dx * Co : (dx + 1) * Co] for dx in range(3)
+                    ]
+                else:
+                    # wide channels: K = 3*Ci is already whole 128-passes;
+                    # three separate (Co, 3Ci) matmuls pipeline better than
+                    # one 3Co-tall
+                    accs = [
+                        jax.lax.dot_general(
+                            w[dx * Co : (dx + 1) * Co], s,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for dx in range(3)
+                    ]
+                emit_row(r, accs)
 
     # ingest the current group for the next step (reads before writes)
     prev_last = slab[R]
@@ -225,14 +271,24 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     assert H % R == 0, (H, R)
     G = H // R
 
-    # (3(dx)*Co, 3(dy)*Ci): dy folded into the contraction dim — ordered to
-    # match the slab's row-contiguous [dy=0 | dy=1 | dy=2] stacking — and the
-    # dx phases stacked along the output dim
-    wk = jnp.transpose(w, (1, 3, 0, 2)).reshape(3 * Co, 3 * Ci)
+    pair = Ci < 128 and R % 2 == 0 and _pair_gain(Ci, Co)
+    if pair:
+        # (3dx*2*Co, 4dy*Ci): row j of a pair uses window rows j..j+2; the
+        # unused (row, dy4) slots stay zero (the 25% non-useful MACs)
+        wt = jnp.transpose(w, (1, 3, 0, 2))  # (3dx, Co, 3dy, Ci)
+        w4 = jnp.zeros((3, 2, Co, 4, Ci), w.dtype)
+        for j in range(2):
+            w4 = w4.at[:, j, :, j : j + 3].set(wt)
+        wk = w4.reshape(6 * Co, 4 * Ci)
+    else:
+        # (3(dx)*Co, 3(dy)*Ci): dy folded into the contraction dim — ordered
+        # to match the slab's row-contiguous [dy=0 | dy=1 | dy=2] stacking —
+        # and the dx phases stacked along the output dim
+        wk = jnp.transpose(w, (1, 3, 0, 2)).reshape(3 * Co, 3 * Ci)
     kern = functools.partial(
         _fwd_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
         affine=in_scale is not None, bwd_affine=bwd_affine is not None,
-        stats=stats, cot=cot_adjust is not None, out_dtype=x.dtype
+        stats=stats, cot=cot_adjust is not None, out_dtype=x.dtype, pair=pair
     )
     halo_spec = pl.BlockSpec(
         (1, R, Ci, W),
@@ -242,7 +298,7 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     in_specs = [
         halo_spec,
         pl.BlockSpec(
-            (3 * Co, 3 * Ci), lambda b, g: (0, 0),
+            wk.shape, lambda b, g: (0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -301,7 +357,7 @@ def _conv3x3_fwd(x, w, rows_per_step=None, interpret=False,
     )(*operands)
 
 
-def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine, cot):
+def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine, cot, pair=False):
     refs = list(refs)
     x_ref, g_ref = refs[:2]
     refs = refs[2:]
@@ -343,8 +399,10 @@ def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine, cot):
         # (3Ci, W) @ (W, 3Co) contraction instead of three thin N=Co ones
         # (the N=64 matmuls left half the MXU columns idle; profiled
         # backward at 3x forward cost on v5e).
-        acc = None
-        for r in range(R):
+        # pair mode: two rows per matmul — M = 4Ci (the pair's input
+        # window), N = 2*3Co (both rows' shifted cotangents); the caller
+        # unpacks the (4Ci, 6Co) accumulator (see _pair_gain).
+        def gstack_row(r):
             gr = g_ref[0, r]
             if cot:  # fold the stats cotangents into gy on load
                 gr = _ingest_cot(gr, yc_ref[0, r], c1_ref, c2_ref)
@@ -352,21 +410,35 @@ def _wgrad_kernel(*refs, R, G, Ci, Co, W, affine, cot):
             zero = jnp.zeros_like(gf)
             gm = jnp.where(not_last, pltpu.roll(gf, W - 1, axis=1), zero)
             gp = jnp.where(not_first, pltpu.roll(gf, 1, axis=1), zero)
-            gstack = jnp.concatenate(
-                [
-                    gm.astype(g_ref.dtype),
-                    gr,
-                    gp.astype(g_ref.dtype),
-                ],
-                axis=0,
-            )  # (3*Co, W), dx-major
-            s = slab[r : r + 3].reshape(3 * Ci, W)
-            o = jax.lax.dot_general(
-                s, gstack,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (3*Ci, 3*Co)
-            acc = o if acc is None else acc + o
+            return [
+                gm.astype(g_ref.dtype),
+                gr.astype(g_ref.dtype),
+                gp.astype(g_ref.dtype),
+            ]  # dx-major
+
+        acc = None
+        if pair:
+            for q in range(R // 2):
+                gstack = jnp.concatenate(
+                    gstack_row(2 * q) + gstack_row(2 * q + 1), axis=0
+                )  # (2*3*Co, W), row-major then dx-major
+                s = slab[2 * q : 2 * q + 4].reshape(4 * Ci, W)
+                o = jax.lax.dot_general(
+                    s, gstack,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (4*Ci, 6*Co)
+                acc = o if acc is None else acc + o
+        else:
+            for r in range(R):
+                gstack = jnp.concatenate(gstack_row(r), axis=0)  # (3*Co, W)
+                s = slab[r : r + 3].reshape(3 * Ci, W)
+                o = jax.lax.dot_general(
+                    s, gstack,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3*Ci, 3*Co)
+                acc = o if acc is None else acc + o
         # accumulate in the packed (dy-major rows, dx-major cols) form —
         # Mosaic cannot split the lane dim in-kernel; the caller unpacks
         # with a free XLA reshape/transpose
@@ -385,9 +457,10 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
     assert H % R == 0, (H, R)
     G = H // R
 
+    pair = R % 2 == 0 and _pair_gain(Ci, Co)
     kern = functools.partial(
         _wgrad_kernel, R=R, G=G, Ci=Ci, Co=Co, W=W,
-        affine=in_scale is not None, cot=cot_adjust is not None,
+        affine=in_scale is not None, cot=cot_adjust is not None, pair=pair,
     )
     g_spec = pl.BlockSpec(
         (1, R, Co, W),
@@ -412,15 +485,16 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
         in_specs, operands = _affine_specs_operands(
             in_specs, operands, gs1, gs2, Co
         )
+    acc_shape = (4 * Ci, 6 * Co) if pair else (3 * Ci, 3 * Co)
     packed = pl.pallas_call(
         kern,
         grid=(B, G + 1),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (3 * Ci, 3 * Co), lambda b, g: (0, 0),
+            acc_shape, lambda b, g: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3 * Ci, 3 * Co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(acc_shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((R + 2, Ci, W), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -430,6 +504,11 @@ def _conv3x3_wgrad(x, gy, rows_per_step=None, interpret=False,
         ),
         interpret=interpret,
     )(*operands)
+    if pair:
+        # unpack (dy4·Ci, (j,dx)·Co): window row dy4 is tap dy4-j of pair
+        # row j => dK[dy] = p[dy, j=0] + p[dy+1, j=1]
+        p = packed.reshape(4, Ci, 2, 3, Co)
+        return (p[0:3, :, 0] + p[1:4, :, 1]).transpose(0, 2, 1, 3)
     # unpack (dy·Ci, dx·Co) -> (dy, dx, Ci, Co); free in XLA
     return packed.reshape(3, Ci, 3, Co).transpose(0, 2, 1, 3)
 

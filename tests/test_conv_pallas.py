@@ -326,3 +326,58 @@ def test_deconv_phase_conv_matches_einsum(rng):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_o),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_pair_mode_exact():
+    """Pair-row MXU packing (two output rows per matmul, _pair_gain) fires
+    at the model's 64-channel shapes and at the 8->64 stem conv; results and
+    all gradients must match the row-major oracle exactly."""
+    from rangedet_tpu.ops.conv_pallas import (
+        _pair_gain,
+        conv3x3_bnrelu_stats_bhcw,
+    )
+
+    assert _pair_gain(64, 64) and _pair_gain(8, 64)
+    assert not _pair_gain(128, 128) and not _pair_gain(72, 128)
+
+    rng = np.random.RandomState(3)
+    for Ci, Co in ((64, 64), (8, 64)):
+        B, H, W = 2, 16, 256
+        x = jnp.asarray(rng.randn(B, H, Ci, W).astype(np.float32))
+        w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+        gy = jnp.asarray(rng.randn(B, H, Co, W).astype(np.float32))
+
+        y0, y1 = _oracle(x, w), conv3x3_bhcw(x, w, None, True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-4)
+
+        f0 = lambda x, w: jnp.sum(_oracle(x, w) * gy)
+        f1 = lambda x, w: jnp.sum(conv3x3_bhcw(x, w, None, True) * gy)
+        dx0, dw0 = jax.grad(f0, (0, 1))(x, w)
+        dx1, dw1 = jax.grad(f1, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(dw1), np.asarray(dw0), rtol=1e-5, atol=1e-3
+        )
+
+        # fused producer-affine + stats variant: grads through y, s1, s2
+        s = jnp.asarray(1.0 + 0.3 * rng.randn(Ci).astype(np.float32))
+        b = jnp.asarray(0.2 * rng.randn(Ci).astype(np.float32))
+        cw = jnp.cos(jnp.arange(Co, dtype=jnp.float32))
+
+        def fused(x, w, s, b):
+            y, s1, s2 = conv3x3_bnrelu_stats_bhcw(x, w, s, b, None, True)
+            return jnp.sum(y * gy) + jnp.sum(s1 * cw) + jnp.sum(s2 * cw)
+
+        def ref(x, w, s, b):
+            a = jnp.maximum(x * s[None, None, :, None]
+                            + b[None, None, :, None], 0.0)
+            y = _oracle(a, w)
+            return (jnp.sum(y * gy) + jnp.sum(y.sum((0, 1, 3)) * cw)
+                    + jnp.sum((y * y).sum((0, 1, 3)) * cw))
+
+        g1 = jax.grad(fused, (0, 1, 2, 3))(x, w, s, b)
+        g0 = jax.grad(ref, (0, 1, 2, 3))(x, w, s, b)
+        for a, e in zip(g1, g0):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-3
+            )

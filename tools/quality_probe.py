@@ -43,6 +43,11 @@ def parse_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--save", default=None, help="save final params .npz here")
+    p.add_argument("--resume", default=None,
+                   help="pickle from a prior --save to continue training from")
+    p.add_argument("--step0", type=int, default=0,
+                   help="first train-scene seed offset when resuming (keeps "
+                        "the fresh-scene stream disjoint from the prior run)")
     return p.parse_args()
 
 
@@ -106,12 +111,21 @@ def main():
     model = RangeDet(**cfg.model_kwargs())
     tx, _ = build_optimizer(cfg_opt, steps_per_epoch=1000)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch0)
+    if args.resume:
+        import pickle
+
+        with open(args.resume, "rb") as f:
+            saved = pickle.load(f)
+        state = state.replace(
+            params=jax.device_put(saved["params"]),
+            batch_stats=jax.device_put(saved["batch_stats"]),
+        )
     base_step = make_train_step(model, cfg)
 
     base_key = jax.random.PRNGKey(args.seed)
 
     def step_with_data(state, step_i):
-        key = jax.random.fold_in(base_key, step_i)
+        key = jax.random.fold_in(base_key, step_i + args.step0)
         return base_step(state, make_batch_device(key, **gen_kw))
 
     train_step = jax.jit(step_with_data, donate_argnums=0)
