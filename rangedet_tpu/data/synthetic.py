@@ -88,6 +88,8 @@ def make_frame_vehicles(
     W: int = 2650,
     num_boxes: int = 10,
     class_choices=(1,),
+    dims=((3.6, 5.4), (1.7, 2.1), (1.5, 2.0)),
+    r_range=(8.0, 50.0),
 ) -> Dict[str, np.ndarray]:
     """One unpadded frame with RAYTRACED vehicle-like boxes.
 
@@ -123,13 +125,13 @@ def make_frame_vehicles(
     box_t = np.full((H, W, num_boxes), np.inf, np.float32)
 
     for b in range(num_boxes):
-        r = rng.uniform(8.0, 50.0)
+        r = rng.uniform(*r_range)
         az_c = rng.uniform(-np.pi * 0.9, np.pi * 0.9)
         row = rng.randint(H // 4, 3 * H // 4)
         incl_c = inclination[row]
-        length = rng.uniform(3.6, 5.4)
-        width = rng.uniform(1.7, 2.1)
-        height = rng.uniform(1.5, 2.0)
+        length = rng.uniform(*dims[0])
+        width = rng.uniform(*dims[1])
+        height = rng.uniform(*dims[2])
         # canonical yaw in [-pi/2, pi/2): a cuboid is pi-symmetric, so the
         # heading *direction* is not recoverable from geometry — labeling it
         # uniform over [-pi, pi) makes the cos/sin-Δyaw regression target

@@ -30,8 +30,21 @@ def _clip_and_norm_jnp(name: str, v: jnp.ndarray) -> jnp.ndarray:
     return (v - mean) / jnp.sqrt(var)
 
 
+VEHICLE_DIMS = ((3.6, 5.4), (1.7, 2.1), (1.5, 2.0))  # (l, w, h) ranges
+# mildly rectangular footprint so yaw stays identifiable under the
+# canonical [-pi/2, pi/2) convention (a square footprint would be
+# pi/2-symmetric and make even canonical yaw bimodal); heights are
+# walking-adult scale. Matches the reference's ped recipe scale
+# (config/rangedet/rangedet_ped_wo_aug_4_18e.py operating at 3D IoU 0.5).
+PED_DIMS = ((0.9, 1.2), (0.6, 0.85), (1.6, 1.9))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "pad_w", "max_gt", "num_boxes", "B")
+    jax.jit,
+    static_argnames=(
+        "H", "W", "pad_w", "max_gt", "num_boxes", "B",
+        "dims", "r_range", "class_value",
+    ),
 )
 def make_batch_device(
     key: jax.Array,
@@ -41,9 +54,16 @@ def make_batch_device(
     pad_w: int,
     max_gt: int,
     num_boxes: int = 10,
+    dims=VEHICLE_DIMS,
+    r_range=(8.0, 50.0),
+    class_value: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """Batched training dict matching build_train_targets' contract, rendered
-    on device. All outputs f32 (inputs are cast to bf16 by the model)."""
+    on device. All outputs f32 (inputs are cast to bf16 by the model).
+
+    ``dims`` gives (length, width, height) uniform ranges — VEHICLE_DIMS or
+    PED_DIMS select the scene family; ``class_value`` is written into
+    gt_class (Waymo enum: 1=veh, 2=ped)."""
 
     def one_frame(key):
         ks = jax.random.split(key, 14)
@@ -70,15 +90,16 @@ def make_batch_device(
         )  # (H, W, 3) unit rays
 
         M = num_boxes
-        r = jax.random.uniform(ks[3], (M,), jnp.float32, 8.0, 50.0)
+        r = jax.random.uniform(ks[3], (M,), jnp.float32, *r_range)
         az_c = jax.random.uniform(
             ks[4], (M,), jnp.float32, -jnp.pi * 0.9, jnp.pi * 0.9
         )
         row = jax.random.randint(ks[5], (M,), H // 4, 3 * H // 4)
         incl_c = inclination[row]
-        length = jax.random.uniform(ks[6], (M,), jnp.float32, 3.6, 5.4)
-        width = jax.random.uniform(ks[7], (M,), jnp.float32, 1.7, 2.1)
-        height = jax.random.uniform(ks[8], (M,), jnp.float32, 1.5, 2.0)
+        (l_lo, l_hi), (w_lo, w_hi), (h_lo, h_hi) = dims
+        length = jax.random.uniform(ks[6], (M,), jnp.float32, l_lo, l_hi)
+        width = jax.random.uniform(ks[7], (M,), jnp.float32, w_lo, w_hi)
+        height = jax.random.uniform(ks[8], (M,), jnp.float32, h_lo, h_hi)
         # canonical yaw in [-pi/2, pi/2) — see synthetic.py:make_frame_vehicles:
         # cuboids are pi-symmetric, so a full-circle yaw label is unlearnable
         # (bimodal Δyaw target) and held-out AP collapses; the canonical
@@ -166,7 +187,7 @@ def make_batch_device(
             return jnp.pad(a, cfgpad)
 
         gt_pad = jnp.zeros((max_gt, 7), jnp.float32).at[:M].set(gt_csa)
-        cls_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(1.0)
+        cls_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(class_value)
         valid_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(1.0)
         np_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(gt_num_points)
         return {

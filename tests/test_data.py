@@ -176,3 +176,35 @@ def test_synthetic_device_raytrace_consistency():
         gt = np.asarray(b["gt_csa"][f][:5])
         assert (gt[:, 3] > gt[:, 4]).all()  # l > w: yaw identifiable
         assert counts[:5].sum() > 0
+
+
+def test_synthetic_device_ped_family():
+    """PED_DIMS scene family: walking-adult-scale cuboids with the same
+    raytrace invariants (containment census, identifiable yaw, gt_class=2 —
+    the Waymo TYPE_PEDESTRIAN enum the ped recipes filter on)."""
+    import jax
+    import jax.numpy as jnp
+    from rangedet_tpu.data.synthetic_device import PED_DIMS, make_batch_device
+    from rangedet_tpu.ops import assigner, boxes
+
+    b = make_batch_device(
+        jax.random.PRNGKey(7), B=2, H=32, W=512, pad_w=512, max_gt=16,
+        num_boxes=5, dims=PED_DIMS, r_range=(5.0, 25.0), class_value=2.0,
+    )
+    assert np.isfinite(np.asarray(b["input_data"])).all()
+    for f in range(2):
+        corners8 = boxes.csa_to_corners3d(b["gt_csa"][f])
+        idx = np.asarray(
+            assigner.assign_points_to_boxes(
+                jnp.asarray(b["pc"][f].reshape(-1, 3)), corners8,
+                jnp.asarray(b["mask"][f].reshape(-1)),
+                box_valid=b["gt_valid"][f],
+            )
+        )
+        counts = np.bincount(idx[idx >= 0], minlength=16).astype(np.float32)
+        np.testing.assert_array_equal(counts, np.asarray(b["gt_num_points"][f]))
+        gt = np.asarray(b["gt_csa"][f][:5])
+        assert (gt[:, 3] > gt[:, 4]).all()  # PED_DIMS keeps l > w
+        assert (gt[:, 3] < 1.3).all() and (gt[:, 5] >= 1.6).all()
+        assert (np.asarray(b["gt_class"][f][:5]) == 2.0).all()
+        assert counts[:5].sum() > 0

@@ -100,9 +100,18 @@ def main():
     # generate+train step consumes a genuinely fresh scene every step with
     # zero host↔device traffic (a host-generated batch costs ~2 s/step in
     # transfer alone on the tunneled dev backend, 20× the train step)
+    from rangedet_tpu.data.synthetic_device import PED_DIMS, VEHICLE_DIMS
+
+    # scene family follows the recipe's class: the reference's ped recipes
+    # operate at 3D IoU 0.5 (eval_iou_thresh), walking-adult box dims
+    cname = cfg_t.class_names[0]
+    iou_op = cfg_t.eval_iou_thresh[cname]
+    fam = dict(dims=PED_DIMS, r_range=(5.0, 35.0), class_value=2.0) \
+        if cname == "ped" else \
+        dict(dims=VEHICLE_DIMS, r_range=(8.0, 50.0), class_value=1.0)
     H, W = cfg.feat_size
     gen_kw = dict(B=B, H=H, W=W, pad_w=cfg.pad_field[1],
-                  max_gt=cfg.max_gt_boxes, num_boxes=args.boxes)
+                  max_gt=cfg.max_gt_boxes, num_boxes=args.boxes, **fam)
 
     def gen(key):
         return make_batch_device(key, **gen_kw)
@@ -157,8 +166,8 @@ def main():
         for ebatch, hb in holdout:
             out = jax.device_get(eval_step(est, ebatch))
             for b in range(EB):
-                boxes = np.asarray(out["veh"]["boxes"][b])
-                valid = np.asarray(out["veh"]["valid"][b])
+                boxes = np.asarray(out[cname]["boxes"][b])
+                valid = np.asarray(out[cname]["valid"][b])
                 kept = boxes[valid]
                 keep_gt = hb["gt_valid"][b] > 0
                 frames.append(dict(
@@ -166,17 +175,22 @@ def main():
                     gt_csa=hb["gt_csa"][b][keep_gt],
                     gt_num_points=hb["gt_num_points"][b][keep_gt],
                 ))
+        # operating point from the recipe (veh 0.7 / ped 0.5, the reference's
+        # published WOD thresholds); secondary point 0.2 looser for the curve
+        iou_lo = round(iou_op - 0.2, 1)
+        s_op = f"{int(round(iou_op * 10)):02d}"
+        s_lo = f"{int(round(iou_lo * 10)):02d}"
         bev = average_precision(frames, iou_thresh=0.5, mode="bev")
-        wod7 = waymo_metrics(frames, iou_thresh=0.7, mode="3d")
-        wod5 = waymo_metrics(frames, iou_thresh=0.5, mode="3d")
+        wod_op = waymo_metrics(frames, iou_thresh=iou_op, mode="3d")
+        wod_lo = waymo_metrics(frames, iou_thresh=iou_lo, mode="3d")
         return {
             "bev_ap_05": round(bev["ap"], 4),
-            "l1_ap_07": round(wod7["L1"]["ap"], 4),
-            "l1_aph_07": round(wod7["L1"]["aph"], 4),
-            "l2_ap_07": round(wod7["L2"]["ap"], 4),
-            "l2_aph_07": round(wod7["L2"]["aph"], 4),
-            "l1_ap_05": round(wod5["L1"]["ap"], 4),
-            "l1_recall_07": round(wod7["L1"]["recall"], 4),
+            f"l1_ap_{s_op}": round(wod_op["L1"]["ap"], 4),
+            f"l1_aph_{s_op}": round(wod_op["L1"]["aph"], 4),
+            f"l2_ap_{s_op}": round(wod_op["L2"]["ap"], 4),
+            f"l2_aph_{s_op}": round(wod_op["L2"]["aph"], 4),
+            f"l1_ap_{s_lo}": round(wod_lo["L1"]["ap"], 4),
+            f"l1_recall_{s_op}": round(wod_op["L1"]["recall"], 4),
         }
 
     t0 = time.time()
