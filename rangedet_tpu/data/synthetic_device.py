@@ -37,13 +37,15 @@ VEHICLE_DIMS = ((3.6, 5.4), (1.7, 2.1), (1.5, 2.0))  # (l, w, h) ranges
 # walking-adult scale. Matches the reference's ped recipe scale
 # (config/rangedet/rangedet_ped_wo_aug_4_18e.py operating at 3D IoU 0.5).
 PED_DIMS = ((0.9, 1.2), (0.6, 0.85), (1.6, 1.9))
+# bicycle + rider: long/narrow footprint, rider-height
+CYC_DIMS = ((1.6, 2.0), (0.5, 0.8), (1.4, 1.8))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "H", "W", "pad_w", "max_gt", "num_boxes", "B",
-        "dims", "r_range", "class_value",
+        "dims", "r_range", "class_value", "families",
     ),
 )
 def make_batch_device(
@@ -57,13 +59,18 @@ def make_batch_device(
     dims=VEHICLE_DIMS,
     r_range=(8.0, 50.0),
     class_value: float = 1.0,
+    families=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched training dict matching build_train_targets' contract, rendered
     on device. All outputs f32 (inputs are cast to bf16 by the model).
 
-    ``dims`` gives (length, width, height) uniform ranges — VEHICLE_DIMS or
-    PED_DIMS select the scene family; ``class_value`` is written into
-    gt_class (Waymo enum: 1=veh, 2=ped)."""
+    ``dims`` gives (length, width, height) uniform ranges — VEHICLE_DIMS /
+    PED_DIMS / CYC_DIMS select the scene family; ``class_value`` is written
+    into gt_class (Waymo enum: 1=veh, 2=ped, 4=cyc). For MIXED scenes pass
+    ``families`` — a tuple of (dims, r_range, class_value) triples — and each
+    box independently draws a family (multiclass recipes)."""
+    if families is None:
+        families = ((dims, r_range, class_value),)
 
     def one_frame(key):
         ks = jax.random.split(key, 14)
@@ -90,16 +97,28 @@ def make_batch_device(
         )  # (H, W, 3) unit rays
 
         M = num_boxes
-        r = jax.random.uniform(ks[3], (M,), jnp.float32, *r_range)
+        # per-box family (uniform over `families`); lo/hi tables indexed by
+        # the drawn family id keep everything shape-static under jit
+        F = len(families)
+        fam_lo = jnp.asarray(
+            [[d[0][0], d[1][0], d[2][0], rr[0]] for d, rr, _ in families],
+            jnp.float32,
+        )  # (F, 4): l, w, h, r lower bounds
+        fam_hi = jnp.asarray(
+            [[d[0][1], d[1][1], d[2][1], rr[1]] for d, rr, _ in families],
+            jnp.float32,
+        )
+        fam_cls = jnp.asarray([c for _, _, c in families], jnp.float32)
+        fam = jax.random.randint(ks[3], (M,), 0, F)
+        u = jax.random.uniform(ks[6], (M, 4), jnp.float32)
+        lwhr = fam_lo[fam] + u * (fam_hi[fam] - fam_lo[fam])  # (M, 4)
+        length, width, height, r = (lwhr[:, i] for i in range(4))
+        box_cls = fam_cls[fam]
         az_c = jax.random.uniform(
             ks[4], (M,), jnp.float32, -jnp.pi * 0.9, jnp.pi * 0.9
         )
         row = jax.random.randint(ks[5], (M,), H // 4, 3 * H // 4)
         incl_c = inclination[row]
-        (l_lo, l_hi), (w_lo, w_hi), (h_lo, h_hi) = dims
-        length = jax.random.uniform(ks[6], (M,), jnp.float32, l_lo, l_hi)
-        width = jax.random.uniform(ks[7], (M,), jnp.float32, w_lo, w_hi)
-        height = jax.random.uniform(ks[8], (M,), jnp.float32, h_lo, h_hi)
         # canonical yaw in [-pi/2, pi/2) — see synthetic.py:make_frame_vehicles:
         # cuboids are pi-symmetric, so a full-circle yaw label is unlearnable
         # (bimodal Δyaw target) and held-out AP collapses; the canonical
@@ -187,7 +206,7 @@ def make_batch_device(
             return jnp.pad(a, cfgpad)
 
         gt_pad = jnp.zeros((max_gt, 7), jnp.float32).at[:M].set(gt_csa)
-        cls_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(class_value)
+        cls_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(box_cls)
         valid_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(1.0)
         np_pad = jnp.zeros((max_gt,), jnp.float32).at[:M].set(gt_num_points)
         return {

@@ -208,3 +208,32 @@ def test_synthetic_device_ped_family():
         assert (gt[:, 3] < 1.3).all() and (gt[:, 5] >= 1.6).all()
         assert (np.asarray(b["gt_class"][f][:5]) == 2.0).all()
         assert counts[:5].sum() > 0
+
+
+def test_synthetic_device_mixed_families():
+    """families=: each box draws (dims, r_range, class) independently — the
+    multiclass recipes' scene generator. Class enums land in gt_class and
+    every family is represented across a few frames."""
+    import jax
+    from rangedet_tpu.data.synthetic_device import (
+        CYC_DIMS, PED_DIMS, VEHICLE_DIMS, make_batch_device,
+    )
+
+    fams = (
+        (VEHICLE_DIMS, (8.0, 40.0), 1.0),
+        (PED_DIMS, (5.0, 25.0), 2.0),
+        (CYC_DIMS, (5.0, 30.0), 4.0),
+    )
+    b = make_batch_device(
+        jax.random.PRNGKey(11), B=4, H=32, W=512, pad_w=512, max_gt=16,
+        num_boxes=8, families=fams,
+    )
+    cls = np.asarray(b["gt_class"])[np.asarray(b["gt_valid"]) > 0]
+    assert set(np.unique(cls)) <= {1.0, 2.0, 4.0}
+    assert len(np.unique(cls)) == 3  # all families drawn across 32 boxes
+    csa = np.asarray(b["gt_csa"]).reshape(-1, 7)[
+        np.asarray(b["gt_valid"]).reshape(-1) > 0
+    ]
+    # vehicle-sized lengths only for class-1 boxes
+    assert (csa[cls == 1.0][:, 3] >= 3.6).all()
+    assert (csa[cls == 2.0][:, 3] <= 1.2).all()
