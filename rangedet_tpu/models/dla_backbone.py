@@ -191,9 +191,18 @@ class BasicBlock(nn.Module):
         planar = self.layout in PLANAR_LAYOUTS
         ch_ax = channel_axis_of(self.layout)
         if self.meta_channel_list is not None:
+            # the fused bhcw block needs no remat: its custom VJP saves only
+            # the block INPUTS (ops/meta_block_pallas.py:_agg_fwd residuals)
+            # and the 9C tensor never materializes, so nn.remat would only
+            # re-run both Pallas passes in the backward for no memory win
+            fused_meta = (
+                self.use_pallas_meta
+                and self.layout == "bhcw"
+                and self.width_axis is None
+            )
             block_cls = (
                 nn.remat(MetaBlock, static_argnums=(3,))
-                if self.remat_meta
+                if self.remat_meta and not fused_meta
                 else MetaBlock
             )
             if self.layout == "planar":
