@@ -89,7 +89,7 @@ def main():
 
     # inference throughput at the batched-eval batch size (tools/test.py
     # --batch; frames/s is per chip either way)
-    EVAL_BATCH = 4
+    EVAL_BATCH = int(os.environ.get("RANGEDET_BENCH_EVAL_BATCH", "4"))
     cfg_t = load_config("rangedet_veh_wo_aug_4_18e", False)
     ebatch_np = make_batch(cfg_t, EVAL_BATCH, seed=1, num_boxes=20)
     ebatch = build_eval_inputs(

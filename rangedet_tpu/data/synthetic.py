@@ -82,14 +82,23 @@ def make_frame(
     )
 
 
+# per-class (dims, r_range) — mirrors data/synthetic_device.py's
+# VEHICLE_DIMS / PED_DIMS / CYC_DIMS families (Waymo enum keys)
+CLASS_FAMILIES = {
+    1: (((3.6, 5.4), (1.7, 2.1), (1.5, 2.0)), (8.0, 50.0)),
+    2: (((0.9, 1.2), (0.6, 0.85), (1.6, 1.9)), (5.0, 35.0)),
+    4: (((1.6, 2.0), (0.5, 0.8), (1.4, 1.8)), (5.0, 40.0)),
+}
+
+
 def make_frame_vehicles(
     rng: np.random.RandomState,
     H: int = 64,
     W: int = 2650,
     num_boxes: int = 10,
     class_choices=(1,),
-    dims=((3.6, 5.4), (1.7, 2.1), (1.5, 2.0)),
-    r_range=(8.0, 50.0),
+    dims=None,
+    r_range=None,
 ) -> Dict[str, np.ndarray]:
     """One unpadded frame with RAYTRACED vehicle-like boxes.
 
@@ -125,13 +134,18 @@ def make_frame_vehicles(
     box_t = np.full((H, W, num_boxes), np.inf, np.float32)
 
     for b in range(num_boxes):
-        r = rng.uniform(*r_range)
+        cls_b = int(rng.choice(class_choices))
+        # explicit dims/r_range override the per-class family tables
+        dims_b, rr_b = CLASS_FAMILIES.get(cls_b, CLASS_FAMILIES[1])
+        dims_b = dims if dims is not None else dims_b
+        rr_b = r_range if r_range is not None else rr_b
+        r = rng.uniform(*rr_b)
         az_c = rng.uniform(-np.pi * 0.9, np.pi * 0.9)
         row = rng.randint(H // 4, 3 * H // 4)
         incl_c = inclination[row]
-        length = rng.uniform(*dims[0])
-        width = rng.uniform(*dims[1])
-        height = rng.uniform(*dims[2])
+        length = rng.uniform(*dims_b[0])
+        width = rng.uniform(*dims_b[1])
+        height = rng.uniform(*dims_b[2])
         # canonical yaw in [-pi/2, pi/2): a cuboid is pi-symmetric, so the
         # heading *direction* is not recoverable from geometry — labeling it
         # uniform over [-pi, pi) makes the cos/sin-Δyaw regression target
@@ -144,7 +158,7 @@ def make_frame_vehicles(
         cy = r * np.cos(incl_c) * np.sin(az_c)
         cz = r * np.sin(incl_c)
         gt_csa[b] = [cx, cy, cz, length, width, height, yaw]
-        gt_class[b] = rng.choice(class_choices)
+        gt_class[b] = cls_b
 
         # restrict the exact intersection to the box's angular window
         half_diag = 0.5 * np.hypot(length, width) + 0.3

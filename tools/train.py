@@ -133,8 +133,13 @@ def main():
         logger.info("training on SYNTHETIC data")
 
         def epoch_batches(epoch):
+            # raytraced family scenes (style="vehicles"): yaw/extent/center
+            # are recoverable from the range image, so the in-training
+            # validation AP is a real signal (billboard "paint" scenes have
+            # unlearnable yaw and pin AP near 0 at the WOD operating point)
             for i in range(steps_per_epoch):
-                yield make_batch(cfg, global_batch, seed=epoch * 10000 + i)
+                yield make_batch(cfg, global_batch, seed=epoch * 10000 + i,
+                                 style="vehicles")
     else:
         from rangedet_tpu.data.loader import BatchLoader
         from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
@@ -234,7 +239,8 @@ def run_validation(state, model, cfg, args, epoch, n_frames=8):
 
         def frames():
             for i in range(n_frames):
-                b = make_batch(cfg_t, 1, seed=90000 + i, num_boxes=8)
+                b = make_batch(cfg_t, 1, seed=90000 + i, num_boxes=8,
+                               style="vehicles")
                 gt = b["gt_csa"][0][b["gt_valid"][0] > 0]
                 yield b, {cfg.class_names[0]: gt}
     else:
