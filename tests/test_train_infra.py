@@ -169,3 +169,34 @@ def test_loader_deterministic_given_seed():
 
     assert epoch_order(7) == epoch_order(7)
     assert epoch_order(7) != epoch_order(8)
+
+
+@pytest.mark.heavy
+def test_run_validation_synthetic_branch():
+    """tools/train.py:run_validation synthetic path: raytraced scenes,
+    per-class GT split, WOD per-class operating point — returns a finite
+    metric dict for every recipe class (the in-training validation signal)."""
+    import argparse
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from train import run_validation
+
+    from rangedet_tpu.data.synthetic import make_batch
+    from rangedet_tpu.models import RangeDet
+    from rangedet_tpu.train.state import create_train_state
+
+    cfg = tiny_config()
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_batch(cfg, batch_size=1, seed=0, num_boxes=4).items()
+    }
+    model = RangeDet(**cfg.model_kwargs())
+    tx, _ = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
+    args = argparse.Namespace(synthetic=True)
+    metrics = run_validation(state, model, cfg, args, epoch=0, n_frames=2)
+    assert set(metrics) == set(cfg.class_names)
+    for name, m in metrics.items():
+        assert np.isfinite(m["ap"]), (name, m)

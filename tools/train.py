@@ -237,12 +237,20 @@ def run_validation(state, model, cfg, args, epoch, n_frames=8):
     if args.synthetic or not cfg.data_root:
         from rangedet_tpu.data.synthetic import make_batch
 
+        enum_of = {"veh": 1.0, "ped": 2.0, "cyc": 4.0}
+
         def frames():
             for i in range(n_frames):
                 b = make_batch(cfg_t, 1, seed=90000 + i, num_boxes=8,
                                style="vehicles")
-                gt = b["gt_csa"][0][b["gt_valid"][0] > 0]
-                yield b, {cfg.class_names[0]: gt}
+                valid = b["gt_valid"][0] > 0
+                gt = {
+                    name: b["gt_csa"][0][
+                        valid & (b["gt_class"][0] == enum_of.get(name, 1.0))
+                    ]
+                    for name in cfg.class_names
+                }
+                yield b, gt
     else:
         from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
 
