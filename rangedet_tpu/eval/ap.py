@@ -310,6 +310,59 @@ def waymo_metrics(
     return out
 
 
+#: WOD RANGE breakdown buckets (meters of box-center XY distance) — the
+#: official tool's [0, 30) / [30, 50) / [50, +inf) generator
+RANGE_BUCKETS = ((0.0, 30.0), (30.0, 50.0), (50.0, float("inf")))
+
+
+def range_breakdown(
+    frames: Sequence[Dict[str, np.ndarray]],
+    iou_thresh: float = 0.7,
+    mode: str = "3d",
+    buckets: Sequence[Tuple[float, float]] = RANGE_BUCKETS,
+    level: str = "L1",
+) -> Dict[str, Dict[str, float]]:
+    """WOD-style RANGE breakdown: AP/APH per center-distance bucket.
+
+    Per bucket, GTs of the requested difficulty level whose XY center
+    distance falls in [lo, hi) are scored; all other GTs are ignore-set
+    (detections matching them drop from the PR pool, as in the L1/L2
+    split), and unmatched detections whose own center lies outside the
+    bucket are excluded rather than counted as this bucket's FPs — the
+    official breakdown assigns FPs by detection range.
+    """
+    out: Dict[str, Dict[str, float]] = {}
+    for lo, hi in buckets:
+        scores_l, tp_l, hw_l = [], [], []
+        n_gt = 0
+        for fr in frames:
+            det_csa = np.asarray(fr["det_csa"], np.float32).reshape(-1, 7)
+            det_scores = np.asarray(fr["det_scores"], np.float32).reshape(-1)
+            gt_csa = np.asarray(fr["gt_csa"], np.float32).reshape(-1, 7)
+            lvl = _frame_level(fr, gt_csa)
+            lvl_keep = lvl == 1 if level == "L1" else lvl >= 1
+            gt_r = np.hypot(gt_csa[:, 0], gt_csa[:, 1])
+            in_b = (gt_r >= lo) & (gt_r < hi)
+            keep = lvl_keep & in_b
+            ignore = ~keep & (lvl != 0)  # other buckets/levels: ignore
+            tp, hw, drop, m = _match_frame_full(
+                det_csa, det_scores, gt_csa, keep, ignore, iou_thresh, mode
+            )
+            det_r = np.hypot(det_csa[:, 0], det_csa[:, 1])
+            det_out = (det_r < lo) | (det_r >= hi)
+            drop = drop | (~tp & det_out)
+            scores_l.append(det_scores[~drop])
+            tp_l.append(tp[~drop])
+            hw_l.append(hw[~drop])
+            n_gt += m
+        scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
+        tps = np.concatenate(tp_l) if tp_l else np.zeros(0, bool)
+        hws = np.concatenate(hw_l) if hw_l else np.zeros(0)
+        label = f"[{lo:g}, {hi:g})"
+        out[label] = _pr_summary(scores, tps, hws, n_gt)
+    return out
+
+
 def average_precision(
     frames: Sequence[Dict[str, np.ndarray]],
     iou_thresh: float = 0.7,

@@ -223,3 +223,29 @@ def test_greedy_vs_hungarian_bound_crowded(rng):
         for lvl in ("L1", "L2"):
             assert abs(g[lvl]["ap"] - h[lvl]["ap"]) < 0.02, (thr, lvl, g, h)
             assert abs(g[lvl]["aph"] - h[lvl]["aph"]) < 0.02, (thr, lvl, g, h)
+
+
+def test_range_breakdown_buckets():
+    """WOD RANGE breakdown: near boxes detected / far boxes missed gives
+    near-bucket AP 1, far-bucket AP 0, and far misses don't pollute the
+    near bucket (cross-bucket GTs are ignore-set, out-of-bucket FPs are
+    assigned by detection range)."""
+    from rangedet_tpu.eval.ap import range_breakdown
+
+    def box(x, y):
+        return [x, y, 0.0, 4.0, 2.0, 1.6, 0.0]
+
+    # two near GTs (r=10, 20) detected perfectly; one far GT (r=60) missed;
+    # plus one far FP (r=70)
+    frames = [dict(
+        det_csa=np.asarray([box(10, 0), box(0, 20), box(70, 0)], np.float32),
+        det_scores=np.asarray([0.9, 0.8, 0.7], np.float32),
+        gt_csa=np.asarray([box(10, 0), box(0, 20), box(60, 0)], np.float32),
+        gt_num_points=np.full(3, 50),
+    )]
+    out = range_breakdown(frames, iou_thresh=0.7, mode="bev")
+    assert out["[0, 30)"]["ap"] > 0.99, out
+    assert out["[0, 30)"]["recall"] == 1.0
+    assert out["[30, 50)"]["ap"] == 0.0  # no GT in bucket
+    assert out["[50, inf)"]["ap"] == 0.0  # GT missed, FP present
+    assert out["[50, inf)"]["recall"] == 0.0
