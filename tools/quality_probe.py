@@ -64,7 +64,11 @@ def main():
 
     from rangedet_tpu.configs import load_config
     from rangedet_tpu.data.synthetic_device import make_batch_device
-    from rangedet_tpu.eval.ap import average_precision, waymo_metrics
+    from rangedet_tpu.eval.ap import (
+        average_precision,
+        range_breakdown,
+        waymo_metrics,
+    )
     from rangedet_tpu.models import RangeDet
     from rangedet_tpu.models.convert import convert_params
     from rangedet_tpu.train.schedule import build_optimizer
@@ -165,7 +169,7 @@ def main():
         hb = jax.device_get(hb_dev)  # gt arrays for the AP evaluator
         holdout.append((prep(hb_dev), hb))
 
-    def run_eval(state):
+    def run_eval(state, buckets=False):
         if cfg_t.layout != cfg.layout:
             est = state.replace(params=convert_params(state.params, cfg_t.layout))
         else:
@@ -210,6 +214,11 @@ def main():
                 f"{p}l1_ap_{s_lo}": round(wod_lo["L1"]["ap"], 4),
                 f"{p}l1_recall_{s_op}": round(wod_op["L1"]["recall"], 4),
             })
+            if buckets:
+                # final-eval WOD RANGE breakdown (eval/ap.py:range_breakdown)
+                rb = range_breakdown(frames, iou_thresh=iou_op, mode="3d")
+                for label, r in rb.items():
+                    rec[f"{p}l1_ap_{s_op}_r{label}"] = round(r["ap"], 4)
         return rec
 
     t0 = time.time()
@@ -221,7 +230,7 @@ def main():
             rec.update({k: round(float(v), 4) for k, v in m.items()
                         if k != "total_loss"})
             if step_i % args.eval_every == 0 or step_i == args.steps:
-                rec.update(run_eval(state))
+                rec.update(run_eval(state, buckets=step_i == args.steps))
             print(json.dumps(rec), flush=True)
 
     if args.save:
