@@ -141,6 +141,15 @@ def main():
             params=jax.device_put(saved["params"]),
             batch_stats=jax.device_put(saved["batch_stats"]),
         )
+        if "opt_state" in saved:
+            # warm adamw moments: the resumed run continues the optimizer
+            # trajectory instead of re-estimating second moments from zero
+            opt0 = jax.device_get(state.opt_state)
+            opt = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt0),
+                [jax.device_put(v) for v in saved["opt_state"]],
+            )
+            state = state.replace(opt_state=opt)
     base_step = make_train_step(model, cfg)
 
     base_key = jax.random.PRNGKey(args.seed)
@@ -237,8 +246,13 @@ def main():
         import pickle
 
         with open(args.save, "wb") as f:
-            pickle.dump(jax.device_get(
-                {"params": state.params, "batch_stats": state.batch_stats}), f)
+            pickle.dump(jax.device_get({
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                # flat leaves: structure is rebuilt from a fresh state on
+                # resume, so the pickle stays optax-class-agnostic
+                "opt_state": jax.tree_util.tree_leaves(state.opt_state),
+            }), f)
         print(json.dumps({"saved": args.save}), flush=True)
     print(json.dumps({"done": True, "total_s": round(time.time() - t0, 1)}),
           flush=True)
