@@ -138,6 +138,30 @@ def boxes_camera_to_lidar_csa(boxes_cam: np.ndarray, calib: Calibration) -> np.n
     return np.stack([xyz[:, 0], xyz[:, 1], xyz[:, 2], l, w, h, yaw], axis=1)
 
 
+def points_in_boxes_csa(pc: np.ndarray, csa: np.ndarray) -> np.ndarray:
+    """Host-side points-per-box count for roidb metadata (the reference's
+    builder stores num_lidar_points_in_box per label;
+    create_range_image_roidb.py:180-186 keeps it for difficulty rules).
+
+    pc (N, 3) lidar frame; csa (M, 7) [cx, cy, cz, l, w, h, yaw] -> (M,)
+    counts, boundary-inclusive (matches ops/assigner.py semantics).
+    """
+    pc = np.asarray(pc, np.float32).reshape(-1, 3)
+    csa = np.asarray(csa, np.float32).reshape(-1, 7)
+    if len(csa) == 0:
+        return np.zeros((0,), np.float32)
+    d = pc[None, :, :] - csa[:, None, :3]  # (M, N, 3)
+    c, s = np.cos(csa[:, 6]), np.sin(csa[:, 6])
+    lx = d[..., 0] * c[:, None] + d[..., 1] * s[:, None]
+    ly = -d[..., 0] * s[:, None] + d[..., 1] * c[:, None]
+    inside = (
+        (np.abs(lx) <= csa[:, 3:4] / 2)
+        & (np.abs(ly) <= csa[:, 4:5] / 2)
+        & (np.abs(d[..., 2]) <= csa[:, 5:6] / 2)
+    )
+    return inside.sum(axis=1).astype(np.float32)
+
+
 def kitti_frame_to_inputs(
     velodyne: np.ndarray,
     pad_field,

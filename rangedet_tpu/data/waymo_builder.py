@@ -215,11 +215,14 @@ def build_segment(
 
 
 def build_dataset(
-    tfrecord_dir: str, out_dir: str, split: str, num_workers: int = 8
+    tfrecord_dir: str, out_dir: str, split: str, num_workers: int = 8,
+    lidar_name: int = 1,
 ):
     """Threaded over segments (create_range_image_roidb.py:223-256)."""
     import glob
 
     segs = sorted(glob.glob(os.path.join(tfrecord_dir, "*.tfrecord")))
+    if not segs:
+        raise FileNotFoundError(f"no *.tfrecord under {tfrecord_dir}")
     with ThreadPoolExecutor(num_workers) as ex:
-        list(ex.map(lambda s: build_segment(s, out_dir, split), segs))
+        list(ex.map(lambda s: build_segment(s, out_dir, split, lidar_name), segs))

@@ -78,6 +78,75 @@ def test_camera_to_lidar_box(tmp_path, rng):
     np.testing.assert_allclose(back, pts, atol=1e-4)
 
 
+def test_builder_cli_end_to_end(tmp_path, rng):
+    """tools/create_range_image_in_kitti.py on a synthesized KITTI root ->
+    Waymo-schema npz/roidb -> loadable padded batch entry (the full
+    'switch a KITTI user over' path)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import create_range_image_in_kitti as cli
+
+    from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
+
+    root = tmp_path / "kitti"
+    for d in ("velodyne", "calib", "label_2"):
+        (root / d).mkdir(parents=True)
+
+    # scan = background + ~60 points inside the GT box at lidar (10, 0, 0)
+    pc = _fake_scan(rng, 6000)
+    nin = 60
+    inbox = np.stack(
+        [
+            rng.uniform(8.5, 11.5, nin),
+            rng.uniform(-0.8, 0.8, nin),
+            rng.uniform(-0.7, 0.7, nin),
+            rng.uniform(0, 1, nin),
+        ],
+        1,
+    ).astype(np.float32)
+    np.concatenate([pc, inbox]).tofile(root / "velodyne" / "000000.bin")
+
+    tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], np.float32)
+    (root / "calib" / "000000.txt").write_text(
+        "P2: 7.2e2 0 6e2 0 0 7.2e2 1.8e2 0 0 0 1 0\n"
+        "R0_rect: 1 0 0 0 1 0 0 0 1\n"
+        "Tr_velo_to_cam: " + " ".join(str(v) for v in tr.reshape(-1)) + "\n"
+    )
+    # lidar csa [10, 0, 0, l=4, w=1.8, h=1.5, yaw=0]: with this calib the
+    # camera-frame row is loc (0, 0.75, 10) dims h/w/l (1.5, 1.8, 4), and
+    # yaw = -(ry + pi/2) => ry = -pi/2. One DontCare row must be skipped.
+    (root / "label_2" / "000000.txt").write_text(
+        "Car 0 0 0 0 0 50 50 1.5 1.8 4.0 0.0 0.75 10.0 "
+        f"{-np.pi / 2}\n"
+        "DontCare -1 -1 -10 0 0 10 10 -1 -1 -1 -1000 -1000 -1000 -10\n"
+    )
+
+    out = tmp_path / "built"
+    cli.main([
+        "--kitti-root", str(root), "--out-dir", str(out),
+        "--split", "train", "--width", "512",
+    ])
+
+    roidb = load_roidbs(str(out), ("train",))
+    assert len(roidb) == 1
+    rec = roidb[0]
+    np.testing.assert_allclose(
+        rec["gt_bbox_csa"][0], [10, 0, 0, 4, 1.8, 1.5, 0], atol=1e-5
+    )
+    assert rec["gt_class"][0] == 1.0
+    assert rec["points_in_box"][0] >= nin  # every synthetic in-box point
+
+    entry = record_to_inputs(rec, (64, 512), 8)
+    assert entry["input_data"].shape == (64, 512, 8)
+    assert np.isfinite(entry["input_data"]).all()
+    assert entry["gt_valid"].sum() == 1
+    assert entry["mask"].sum() > 1000
+    # NLZ channel: -1 everywhere (KITTI has no no-label-zones)
+    assert (entry["is_in_nlz"] <= 0).all()
+
+
 def test_kitti_inputs_feed_model(rng):
     pc = _fake_scan(rng, 8000)
     cfg = tiny_config(pad_field=(64, 512), feat_size=(64, 512))
