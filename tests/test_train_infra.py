@@ -16,6 +16,30 @@ from rangedet_tpu.utils.metrics import (
 from tiny import tiny_config
 
 
+def test_every_shipped_recipe_loads():
+    """Every configs/*.py recipe builds in both modes with consistent
+    per-class dicts (the reference CLI contract: --config <name>)."""
+    import glob
+    import os
+
+    import rangedet_tpu.configs as cfgs
+
+    names = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(os.path.dirname(cfgs.__file__), "*.py"))
+        if os.path.basename(p) not in ("__init__.py", "base.py")
+    )
+    assert len(names) >= 7  # 4 parity + multiclass + cyc + tpuopt
+    for name in names:
+        for is_train in (True, False):
+            c = load_config(name, is_train)
+            assert c.name == name and c.is_train == is_train
+            for cls in c.class_names:
+                for d in (c.eval_iou_thresh, c.post_nms_top_n, c.min_score,
+                          c.pre_nms_top_n, c.device_topk):
+                    assert cls in d, (name, cls)
+
+
 def test_cosine_warmup_schedule():
     cfg = load_config("rangedet_veh_wo_aug_4_18e", True)
     sched = build_schedule(cfg, steps_per_epoch=100)
