@@ -48,6 +48,13 @@ def parse_args():
     p.add_argument("--step0", type=int, default=0,
                    help="first train-scene seed offset when resuming (keeps "
                         "the fresh-scene stream disjoint from the prior run)")
+    p.add_argument("--stop-after", type=int, default=None,
+                   help="execute only this many steps in this process, then "
+                        "save and exit cleanly (the LR schedule still spans "
+                        "the full --steps horizon; the resumed optimizer "
+                        "count keeps the cosine position). Lets a long run "
+                        "be chained as short bounded TPU clients — axon "
+                        "claim hygiene, BENCH.md")
     return p.parse_args()
 
 
@@ -231,15 +238,18 @@ def main():
         return rec
 
     t0 = time.time()
-    for step_i in range(1, args.steps + 1):
+    n_run = min(args.steps, args.stop_after or args.steps)
+    for step_i in range(1, n_run + 1):
         state, m = train_step(state, np.int32(step_i))
         if step_i % args.log_every == 0:
-            rec = {"step": step_i, "loss": round(float(m["total_loss"]), 4),
+            rec = {"step": step_i + args.step0,
+                   "loss": round(float(m["total_loss"]), 4),
                    "s_per_step": round((time.time() - t0) / step_i, 3)}
             rec.update({k: round(float(v), 4) for k, v in m.items()
                         if k != "total_loss"})
-            if step_i % args.eval_every == 0 or step_i == args.steps:
-                rec.update(run_eval(state, buckets=step_i == args.steps))
+            if step_i % args.eval_every == 0 or step_i == n_run:
+                rec.update(run_eval(
+                    state, buckets=step_i + args.step0 >= args.steps))
             print(json.dumps(rec), flush=True)
 
     if args.save:
