@@ -31,6 +31,7 @@ GPU with one eval thread per device, reference tools/test.py:139-170).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -41,6 +42,16 @@ REFERENCE_INFER_FPS_PER_CHIP = 20.0  # documented estimate, see module docstring
 
 N_WARMUP = 3
 N_ITERS = 20
+
+# Bounded-retry harness (round-3 lesson: BENCH_r03 recorded rc=1 from a
+# transient TPU FAILED_PRECONDITION on the first warmup step; the identical
+# script measured 2.87x vs_baseline 39 minutes later). The tunneled axon
+# backend occasionally refuses the first client after a lease handoff, so
+# the measured body runs in a FRESH SUBPROCESS per attempt — an in-process
+# retry can inherit a wedged PJRT client, a new process cannot.
+N_ATTEMPTS = int(os.environ.get("RANGEDET_BENCH_ATTEMPTS", "3"))
+ATTEMPT_TIMEOUT_S = int(os.environ.get("RANGEDET_BENCH_TIMEOUT_S", "2400"))
+RETRY_BACKOFF_S = (30, 90)  # before attempt 2, before attempt 3
 
 
 def main():
@@ -171,5 +182,62 @@ def main():
     print(json.dumps(result))
 
 
+def supervise():
+    """Run the measured body as a child process with bounded retries.
+
+    Success = the child exits 0 and its LAST stdout line parses as the
+    result JSON; that line is re-emitted verbatim. On final failure a
+    diagnostic JSON line is printed (still exactly one line, with the
+    driver-required keys present) and the exit code is nonzero so the
+    failure stays visible in the record alongside the diagnostics.
+    """
+    env = dict(os.environ, RANGEDET_BENCH_CHILD="1")
+    attempts = []
+    for i in range(N_ATTEMPTS):
+        if i > 0:
+            time.sleep(RETRY_BACKOFF_S[min(i - 1, len(RETRY_BACKOFF_S) - 1)])
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=ATTEMPT_TIMEOUT_S,
+            )
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err = f"timeout after {ATTEMPT_TIMEOUT_S}s"
+        dt = round(time.time() - t0, 1)
+        lines = [l for l in out.strip().splitlines() if l.strip()]
+        if rc == 0 and lines:
+            try:
+                rec = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                rec = None
+            if rec is not None and "vs_baseline" in rec:
+                if i > 0:  # record that the number needed a retry
+                    rec["bench_attempt"] = i + 1
+                print(json.dumps(rec))
+                return 0
+        # keep a short, single-line tail of the failure for the record
+        tail = " | ".join(
+            (err or out or "no output").strip().splitlines()[-3:]
+        )[-500:]
+        attempts.append({"attempt": i + 1, "rc": rc, "s": dt, "tail": tail})
+        print(f"[bench] attempt {i+1}/{N_ATTEMPTS} failed rc={rc} "
+              f"({dt}s): {tail}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "range-image frames/sec/chip (train+infer)",
+        "value": 0.0, "unit": "frames/s/chip", "vs_baseline": 0.0,
+        "error": "all bench attempts failed", "attempts": attempts,
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RANGEDET_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(supervise())
