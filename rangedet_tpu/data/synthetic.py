@@ -99,6 +99,8 @@ def make_frame_vehicles(
     class_choices=(1,),
     dims=None,
     r_range=None,
+    inclination=None,
+    azimuth=None,
 ) -> Dict[str, np.ndarray]:
     """One unpadded frame with RAYTRACED vehicle-like boxes.
 
@@ -116,8 +118,17 @@ def make_frame_vehicles(
     Returns the same dict as make_frame plus ``gt_num_points`` (pixels owned
     per box — feeds the WOD L1/L2 difficulty rule, eval/ap.py:gt_difficulty).
     """
-    inclination = np.linspace(0.03, -0.3, H).astype(np.float32)
-    azimuth = np.linspace(np.pi, -np.pi, W, endpoint=False).astype(np.float32)
+    # explicit tables let callers render with an exact sensor convention —
+    # e.g. the Waymo builder's half-pixel-centered azimuth_table
+    # (data/waymo_builder.py:20-26) when synthesizing schema-exact tfrecords
+    if inclination is None:
+        inclination = np.linspace(0.03, -0.3, H).astype(np.float32)
+    else:
+        inclination = np.asarray(inclination, np.float32)
+    if azimuth is None:
+        azimuth = np.linspace(np.pi, -np.pi, W, endpoint=False).astype(np.float32)
+    else:
+        azimuth = np.asarray(azimuth, np.float32)
     col_pitch = 2 * np.pi / W
     row_pitch = (inclination[0] - inclination[-1]) / max(H - 1, 1)
 

@@ -11,11 +11,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from rangedet_tpu.eval.waymo_bin import export_bin, export_json
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--pred", required=True, help="prediction pickle from tools/test.py")
     p.add_argument("--out", required=True, help="output .bin (or .json) path")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     if args.out.endswith(".json"):
         n = export_json(args.pred, args.out)
     else:

@@ -19,6 +19,7 @@ SEG=${SEG:-2000}          # steps per segment (one bounded TPU client each)
 TOTAL=${TOTAL:-40000}     # LR-schedule horizon (cosine spans this)
 TAG=${TAG:-run}
 EXTRA=${EXTRA:-}
+ONESHOT=${ONESHOT:-0}     # 1 = run a single segment then exit (queue mode)
 EVAL_EVERY=${EVAL_EVERY:-1000}
 LOG_EVERY=${LOG_EVERY:-200}
 SAVE=experiments/quality_probes/${CFG}_${TAG}.npz
@@ -28,6 +29,8 @@ step0=0
 if [ -f "${SAVE}.step" ]; then step0=$(cat "${SAVE}.step"); fi
 while [ "$step0" -lt "$TOTAL" ]; do
   [ -f "$STOP" ] && { echo "stop flag — halting chain at step $step0" >> "$LOG"; break; }
+  # last segment: never train past the LR-schedule horizon
+  SEG=$(( step0 + SEG > TOTAL ? TOTAL - step0 : SEG ))
   resume=""
   [ -f "$SAVE" ] && resume="--resume $SAVE"
   echo "=== segment: step0=$step0 / $TOTAL ($(date -u +%H:%M:%S)) ===" >> "$LOG"
@@ -47,5 +50,6 @@ while [ "$step0" -lt "$TOTAL" ]; do
     }
   step0=$((step0 + SEG))
   echo "$step0" > "${SAVE}.step"
+  [ "$ONESHOT" = "1" ] && exit 0
 done
 echo "chain done at step $step0 / $TOTAL ($(date -u +%H:%M:%S))" >> "$LOG"

@@ -29,11 +29,35 @@ def parse_args():
     p.add_argument("--batch", type=int, default=0,
                    help="eval batch size (frames per device step; default: "
                         "one per local device, sharded over the mesh)")
+    p.add_argument("--experiment-dir", default=None,
+                   help="override cfg.experiment_dir (checkpoint root)")
+    p.add_argument("--image-set", default=None,
+                   help="override cfg.image_set (e.g. validation)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU backend (the environment "
+                        "force-registers a tunneled TPU; env vars don't "
+                        "override it — this sets jax.config in-process)")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink the recipe with tests/tiny.py overrides — "
+                        "smoke/rehearsal mode (pairs with --cpu)")
     return p.parse_args()
+
+
+def _load_cfg(args, is_train):
+    if args.tiny:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+        from tiny import tiny_config
+
+        return tiny_config(args.config, is_train)
+    from rangedet_tpu.configs import load_config
+
+    return load_config(args.config, is_train)
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from rangedet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -46,9 +70,13 @@ def main():
     from rangedet_tpu.train.train_step import build_eval_inputs, make_eval_step
     from rangedet_tpu.utils.logger import config_logger
 
-    cfg = load_config(args.config, is_train=False)
+    cfg = _load_cfg(args, is_train=False)
     if args.data_root:
         cfg = cfg.replace(data_root=args.data_root)
+    if args.experiment_dir:
+        cfg = cfg.replace(experiment_dir=args.experiment_dir)
+    if args.image_set:
+        cfg = cfg.replace(image_set=(args.image_set,))
     logger = config_logger(cfg.experiment_dir, cfg.name)
 
     # class name -> Waymo type enum for the output dict
@@ -92,7 +120,7 @@ def main():
 
     # checkpoints are written in the TRAIN layout; restore with a matching
     # template and convert params if the eval layout differs
-    train_cfg = load_config(args.config, is_train=True)
+    train_cfg = _load_cfg(args, is_train=True)
     if train_cfg.layout != cfg.layout:
         from rangedet_tpu.models.convert import convert_params
 
@@ -123,12 +151,15 @@ def main():
     # frames per dispatch — with host-side record prep prefetched a batch
     # ahead (data/prefetch.py).
     from rangedet_tpu.data.prefetch import threaded_prefetch
-    from rangedet_tpu.parallel import make_mesh, shard_batch
+    from rangedet_tpu.parallel import make_mesh, replicate_state, shard_batch
 
     n_dev = len(jax.devices())
     eval_bs = args.batch or n_dev
     mesh = make_mesh({"data": max(d for d in range(1, n_dev + 1)
                                   if eval_bs % d == 0)})
+    # params must live on the eval mesh alongside the sharded batch — a
+    # single-device restore fed into a multi-device jit is an error
+    state = replicate_state(state, mesh)
 
     def batched_frames():
         buf = []

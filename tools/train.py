@@ -49,11 +49,34 @@ def parse_args():
                    help="run validation AP every N epochs (synthetic or "
                         "cfg validation split)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--experiment-dir", default=None,
+                   help="override cfg.experiment_dir (checkpoints/logs root)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU backend (the environment "
+                        "force-registers a tunneled TPU; env vars don't "
+                        "override it — this sets jax.config in-process)")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink the recipe with tests/tiny.py overrides — "
+                        "smoke/rehearsal mode (pairs with --cpu)")
     return p.parse_args()
+
+
+def _apply_tiny(args, config_name, is_train):
+    """Load a recipe, optionally shrunk with the tests/tiny.py overrides."""
+    if args.tiny:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+        from tiny import tiny_config
+
+        return tiny_config(config_name, is_train)
+    from rangedet_tpu.configs import load_config
+
+    return load_config(config_name, is_train)
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from rangedet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -69,11 +92,13 @@ def main():
     from rangedet_tpu.train.train_step import build_train_step_fn
     from rangedet_tpu.utils.logger import ProfilerHook, Speedometer, config_logger
 
-    cfg = load_config(args.config, is_train=True)
+    cfg = _apply_tiny(args, args.config, True)
     if args.data_root:
         cfg = cfg.replace(data_root=args.data_root)
     if args.epochs:
         cfg = cfg.replace(end_epoch=args.epochs)
+    if args.experiment_dir:
+        cfg = cfg.replace(experiment_dir=args.experiment_dir)
 
     logger = config_logger(cfg.experiment_dir, cfg.name)
     logger.info(f"config: {cfg.name}; devices: {jax.devices()}")
