@@ -57,18 +57,36 @@ run_chain() {  # CFG TOTAL SEG TAG EVAL_EVERY EXTRA...
 
 note "queue start (deadline=$DEADLINE)"
 
-# 1. vehicle, recipe-exact SGD (VERDICT #2) — resumes the in-flight run
-run_chain rangedet_veh_wo_aug_4_18e 40000 5000 sgd 1000 \
+# 1. vehicle, recipe-exact SGD (VERDICT #2) — resumes the run stopped at
+#    12k/40k in the stalled session. The horizon is COMPRESSED 40k -> 20k so
+#    the cosine reaches zero inside the round AND the run becomes
+#    apples-to-apples with the r3 adamw probe (same 20k horizon, same batch,
+#    only the optimizer differs). The resumed optimizer count (12000) places
+#    the recomputed cosine at 12/20 — a continuous downward LR step
+#    (0.0199 -> 0.0086), documented in QUALITY.md.
+run_chain rangedet_veh_wo_aug_4_18e 20000 2000 sgd 1000 \
   --optimizer sgd --lr 0.025 --batch 4 --warmup-steps 4000 || exit 0
 
 # 2. pedestrian full-size completion (VERDICT #3) — keep the original 6000
 #    LR horizon the run was started with
 run_chain rangedet_ped_wo_aug_4_18e 6000 2500 tpu 500 || exit 0
 
-# 3. cyclist full-size (VERDICT #3)
-run_chain rangedet_cyc_wo_aug_4_18e 12000 4000 tpu 1000 || exit 0
+# 3. loader-path multi-epoch training proof at full size (VERDICT #6):
+#    tools/train.py over the full-size roidb staged by
+#    scripts/rehearse_real_pipeline.py --full-size --stop-after-build,
+#    with eval-every and a mid-run resume across an epoch boundary.
+if [ -x tools/run_loader_proof.sh ] && [ -d /root/repo/experiments/loader_fullsize_data/built/training/npz ]; then
+  gate || exit 0
+  note "loader-path full-size proof"
+  tools/run_loader_proof.sh || note "loader proof FAILED (continuing queue)"
+else
+  note "loader proof skipped (dataset not staged)"
+fi
 
-# 4. multiclass full-size (VERDICT #3)
-run_chain rangedet_multiclass_all_36e 12000 4000 tpu 1000 || exit 0
+# 4. cyclist full-size (VERDICT #3)
+run_chain rangedet_cyc_wo_aug_4_18e 6000 2000 tpu 1000 || exit 0
+
+# 5. multiclass full-size (VERDICT #3)
+run_chain rangedet_multiclass_all_36e 6000 2000 tpu 1000 || exit 0
 
 note "queue drained"
