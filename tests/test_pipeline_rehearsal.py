@@ -44,6 +44,6 @@ def test_rehearse_real_pipeline(tmp_path):
     # resume actually restored a checkpoint mid-run
     with open(tmp_path / "train_stage2.log") as f:
         assert "resumed from epoch" in f.read()
-    # 8 tiny epochs is a smoke run: the gate is the CHAIN, not the AP value
-    # (scripts/rehearse_real_pipeline.py --epochs 80 reaches nonzero AP; see
-    # QUALITY.md loader-path table)
+    # Tiny geometry is a smoke run: the gate is the CHAIN, not the AP value
+    # (held-out AP at 16x128 stays 0.0 even at 80 epochs; the full-size
+    # loader-path proof lives in QUALITY.md's loader table)
