@@ -24,9 +24,11 @@ mkdir -p "$EXP" experiments/quality_probes
 echo "=== loader proof stage 1: epochs 0..$((HALF-1)) ($(date -u +%H:%M:%S)) ===" >> "$LOG"
 python -u tools/train.py --config "$CFG" --data-root "$DATA" \
   --experiment-dir "$EXP" --epochs "$HALF" --eval-every "$EVAL_EVERY" \
+  --checkpoint-every 25 \
   --num-workers 2 >> "$LOG" 2>&1 || { echo "stage 1 FAILED" >> "$LOG"; exit 1; }
 echo "=== loader proof stage 2 (RESUME): epochs $HALF..$((TOTAL-1)) ($(date -u +%H:%M:%S)) ===" >> "$LOG"
 python -u tools/train.py --config "$CFG" --data-root "$DATA" \
   --experiment-dir "$EXP" --epochs "$TOTAL" --eval-every "$EVAL_EVERY" \
+  --checkpoint-every 25 \
   --resume --num-workers 2 >> "$LOG" 2>&1 || { echo "stage 2 FAILED" >> "$LOG"; exit 1; }
 echo "=== loader proof complete ($(date -u +%H:%M:%S)) ===" >> "$LOG"

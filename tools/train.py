@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="override cfg.checkpoint_every_epochs (epoch saves "
+                        "are full param+opt-state orbax checkpoints; long "
+                        "many-epoch runs want a sparser cadence)")
     p.add_argument("--mesh", default=None,
                    help="mesh spec like 'data=4,model=2' (default: all on data)")
     p.add_argument("--gspmd-width", action="store_true",
@@ -97,6 +101,8 @@ def main():
         cfg = cfg.replace(data_root=args.data_root)
     if args.epochs:
         cfg = cfg.replace(end_epoch=args.epochs)
+    if args.checkpoint_every:
+        cfg = cfg.replace(checkpoint_every_epochs=args.checkpoint_every)
     if args.experiment_dir:
         cfg = cfg.replace(experiment_dir=args.experiment_dir)
 
