@@ -238,19 +238,32 @@ def main():
         return rec
 
     t0 = time.time()
-    n_run = min(args.steps, args.stop_after or args.steps)
+    n_run = (args.steps if args.stop_after is None
+             else min(args.steps, args.stop_after))
     for step_i in range(1, n_run + 1):
         state, m = train_step(state, np.int32(step_i))
-        if step_i % args.log_every == 0:
+        # the segment's last step ALWAYS logs + evals, even when log_every
+        # does not divide it — otherwise a chain whose segment length is not
+        # a multiple of log_every silently drops its terminal eval (this bit
+        # the ped 3500->6000 segment: no step-6000 record was printed)
+        last = step_i == n_run
+        if step_i % args.log_every == 0 or last:
             rec = {"step": step_i + args.step0,
                    "loss": round(float(m["total_loss"]), 4),
                    "s_per_step": round((time.time() - t0) / step_i, 3)}
             rec.update({k: round(float(v), 4) for k, v in m.items()
                         if k != "total_loss"})
-            if step_i % args.eval_every == 0 or step_i == n_run:
+            if step_i % args.eval_every == 0 or last:
                 rec.update(run_eval(
                     state, buckets=step_i + args.step0 >= args.steps))
             print(json.dumps(rec), flush=True)
+    if n_run == 0:
+        # eval-only invocation (--stop-after 0 with --resume): report the
+        # held-out metrics of the resumed checkpoint at step0, with the
+        # RANGE buckets when the checkpoint is at/after the horizon
+        rec = {"step": args.step0}
+        rec.update(run_eval(state, buckets=args.step0 >= args.steps))
+        print(json.dumps(rec), flush=True)
 
     if args.save:
         import pickle
