@@ -48,9 +48,10 @@ seg_chain() {  # CFG TOTAL SEG TAG EVAL_EVERY min_time_s
   done
 }
 
-# 2. multiclass full-size (needs headroom: first segment compiles ~5 min)
-seg_chain rangedet_multiclass_all_36e 6000 1500 tpu 1500 900
+# 2. multiclass full-size (needs headroom: the first segment compiles the
+#    3-class train+eval programs, ~10-15 min over the tunnel)
+seg_chain rangedet_multiclass_all_36e 6000 1200 tpu 1200 1100
 # 3. cyclist continuation
-seg_chain rangedet_cyc_wo_aug_4_18e 6000 2000 tpu 1000 700
+seg_chain rangedet_cyc_wo_aug_4_18e 6000 2000 tpu 1000 800
 
 note "post-queue done ($(left)s left)"
