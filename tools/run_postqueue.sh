@@ -48,10 +48,15 @@ seg_chain() {  # CFG TOTAL SEG TAG EVAL_EVERY min_time_s
   done
 }
 
-# 2. multiclass full-size (needs headroom: the first segment compiles the
+# 2. one cyclist continuation segment first — its programs are already in
+#    the XLA cache (~13 min for 2000 steps), whereas multiclass pays a
+#    fresh 3-class compile; capping the chain at 4000 here guarantees
+#    multiclass still gets its slot
+seg_chain rangedet_cyc_wo_aug_4_18e 4000 2000 tpu 1000 800
+# 3. multiclass full-size (needs headroom: the first segment compiles the
 #    3-class train+eval programs, ~10-15 min over the tunnel)
 seg_chain rangedet_multiclass_all_36e 6000 1200 tpu 1200 1100
-# 3. cyclist continuation
+# 4. cyclist leftovers with whatever time remains
 seg_chain rangedet_cyc_wo_aug_4_18e 6000 2000 tpu 1000 800
 
 note "post-queue done ($(left)s left)"
