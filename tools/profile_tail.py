@@ -144,10 +144,16 @@ def main():
     res = {}
     for name, fn in variants:
         res[name] = timeit(name, jax.jit(fn), state.params, batch)
+    # attribution: full = fwd + targets + iou + losses; no_iou drops iou;
+    # pre_tgt drops target-gen (its compute_losses still runs the iou
+    # target); no_tail = fwd only. So iou = full-no_iou, targets =
+    # full-pre_tgt, losses = remainder.
     print(json.dumps({
         "iou_target_ms": round(res["full"] - res["no_iou"], 2),
-        "target_gen_ms": round(res["no_iou"] - res["pre_tgt"], 2),
-        "loss_ms": round(res["pre_tgt"] - res["no_tail"], 2),
+        "target_gen_ms": round(res["full"] - res["pre_tgt"], 2),
+        "loss_ms": round(
+            res["pre_tgt"] - res["no_tail"] - (res["full"] - res["no_iou"]), 2
+        ),
         "tail_total_ms": round(res["full"] - res["no_tail"], 2),
     }), flush=True)
 
@@ -159,8 +165,11 @@ def main():
             gres[name] = timeit(f"grad_{name}", g, state.params, batch)
         print(json.dumps({
             "grad_iou_target_ms": round(gres["full"] - gres["no_iou"], 2),
-            "grad_target_gen_ms": round(gres["no_iou"] - gres["pre_tgt"], 2),
-            "grad_loss_ms": round(gres["pre_tgt"] - gres["no_tail"], 2),
+            "grad_target_gen_ms": round(gres["full"] - gres["pre_tgt"], 2),
+            "grad_loss_ms": round(
+                gres["pre_tgt"] - gres["no_tail"]
+                - (gres["full"] - gres["no_iou"]), 2
+            ),
             "grad_tail_total_ms": round(gres["full"] - gres["no_tail"], 2),
         }), flush=True)
 
