@@ -49,9 +49,16 @@ N_ITERS = 20
 # backend occasionally refuses the first client after a lease handoff, so
 # the measured body runs in a FRESH SUBPROCESS per attempt — an in-process
 # retry can inherit a wedged PJRT client, a new process cannot.
-N_ATTEMPTS = int(os.environ.get("RANGEDET_BENCH_ATTEMPTS", "3"))
+N_ATTEMPTS = int(os.environ.get("RANGEDET_BENCH_ATTEMPTS", "5"))
 ATTEMPT_TIMEOUT_S = int(os.environ.get("RANGEDET_BENCH_TIMEOUT_S", "2400"))
-RETRY_BACKOFF_S = (30, 90)  # before attempt 2, before attempt 3
+# Backoffs sized so the retry window (~24 min cumulative) outlasts one
+# in-flight quality-probe segment (~15-20 min): if the driver fires bench
+# while a tools/run_*_queue.sh client holds the single-chip claim, the
+# early attempts fail on claim contention but a later one lands after the
+# segment drains. PAUSE_FLAG asks the queue to not START new segments
+# while bench runs (the queue's gate() polls it between segments).
+RETRY_BACKOFF_S = (30, 90, 240, 600)
+PAUSE_FLAG = "/tmp/pause_queue"
 
 
 def main():
@@ -192,6 +199,27 @@ def supervise():
     failure stays visible in the record alongside the diagnostics.
     """
     env = dict(os.environ, RANGEDET_BENCH_CHILD="1")
+    # Ask any running probe queue to idle between segments while we measure;
+    # remember whether the flag pre-existed so we only remove what we made.
+    made_pause = False
+    try:
+        if not os.path.exists(PAUSE_FLAG):
+            with open(PAUSE_FLAG, "w") as f:
+                f.write("bench.py measuring\n")
+            made_pause = True
+    except OSError:
+        pass
+    try:
+        return _supervise_attempts(env)
+    finally:
+        if made_pause:
+            try:
+                os.remove(PAUSE_FLAG)
+            except OSError:
+                pass
+
+
+def _supervise_attempts(env):
     attempts = []
     for i in range(N_ATTEMPTS):
         if i > 0:

@@ -104,6 +104,33 @@ def test_timeout_is_survived(bench, monkeypatch, capsys):
     assert rec["bench_attempt"] == 2
 
 
+def test_pause_flag_set_during_run_and_cleaned_up(
+    bench, monkeypatch, capsys, tmp_path
+):
+    """bench must ask a running probe queue to idle between segments
+    (touch PAUSE_FLAG) for the duration of the measurement, and remove
+    only a flag it created itself."""
+    flag = str(tmp_path / "pause_queue")
+    monkeypatch.setattr(bench, "PAUSE_FLAG", flag)
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        seen["flag_during"] = os.path.exists(flag)
+        return _completed(0, GOOD + "\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.supervise() == 0
+    assert seen["flag_during"] is True
+    assert not os.path.exists(flag)  # removed after
+
+    # pre-existing flag (user-set) must survive bench
+    with open(flag, "w") as f:
+        f.write("manual\n")
+    assert bench.supervise() == 0
+    assert os.path.exists(flag)
+    os.remove(flag)
+
+
 def test_garbage_stdout_with_rc0_is_a_failure(bench, monkeypatch, capsys):
     """rc=0 but no parseable result line (e.g. a hook printed last) must
     not be reported as success."""
