@@ -32,6 +32,8 @@ def main():
     p.add_argument("--grad", action="store_true", help="also profile grads")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--variants", default=None,
+                   help="comma-separated subset to run (bounds compile time)")
     args = p.parse_args()
 
     import jax
@@ -135,8 +137,97 @@ def main():
         cl, rd = apply_model(params, b)
         return cl[0].sum() + sum(r.sum() for r in rd) + eps
 
+    # --- loss-formulation A/B: same math, layout-friendly shapes ------------
+    # v5e tiles the two minor dims (8,128); materialized (B,H,W,1) / (B,H,W,8)
+    # tensors pad the trailing dim to 128 (up to 128x/16x traffic). These
+    # variants merge the trailing dims into W before the loss elementwise+
+    # reduce to see whether any fusion boundary actually pays that tax.
+    from rangedet_tpu.models import losses as L
+
+    def planar_losses(cl, rd, targets, iou_t):
+        total = 0.0
+        for level, s in enumerate(cfg.fpn_strides):
+            B, H, Ws, K = cl[level].shape
+            logit = cl[level].reshape(B, H, Ws * K)
+            iou = iou_t[level].reshape(B, H, Ws * K)
+            mask = jnp.broadcast_to(
+                targets[f"mask_s{s}"], (B, H, Ws, K)
+            ).reshape(B, H, Ws * K)
+            loss = L.varifocal_loss(logit, jax.lax.stop_gradient(iou),
+                                    cfg.vfl_alpha, cfg.vfl_gamma)
+            cls_loss = jnp.sum(loss * mask) / (jnp.sum(mask) + 1.0)
+
+            Bq, Hq, Wq, C = rd[level].shape
+            delta = rd[level].reshape(Bq, Hq, Wq * C)
+            rt = targets[f"reg_target_s{s}"].reshape(Bq, Hq, Wq * C)
+            rw = targets[f"reg_weight_s{s}"].reshape(Bq, Hq, Wq * C)
+            nwt = targets[f"reg_norm_weight_s{s}"]
+            nw = jnp.broadcast_to(nwt, (Bq, Hq, Wq, C)).reshape(Bq, Hq, Wq * C) \
+                if nwt.shape[-1] != C else nwt.reshape(Bq, Hq, Wq * C)
+            diff = delta - jax.lax.stop_gradient(rt)
+            rl = jnp.abs(diff) if cfg.l1_loss else L.smooth_l1(
+                diff, cfg.smooth_l1_scalar)
+            # denominator matches normalized_reg_loss: sum of the ORIGINAL
+            # (un-broadcast) norm-weight tensor
+            den = jnp.sum(jax.lax.stop_gradient(nwt))
+            reg_loss = jnp.sum(
+                rl * jax.lax.stop_gradient(rw) * jax.lax.stop_gradient(nw)
+            ) / (den + 1.0)
+            total = total + cfg.cls_loss_weight * cls_loss \
+                + cfg.reg_loss_weight * reg_loss
+        return total
+
+    def planar(params, b, eps=0.0):
+        targets = build_train_targets(b, cfg)
+        cl, rd = apply_model(params, b)
+        iou_t = iou_targets_per_level(rd, targets, cfg)
+        return planar_losses(cl, rd, targets, iou_t) + eps
+
+    def cls_only(params, b, eps=0.0):
+        targets = build_train_targets(b, cfg)
+        cl, rd = apply_model(params, b)
+        iou_t = iou_targets_per_level(rd, targets, cfg)
+        total = 0.0
+        for level, s in enumerate(cfg.fpn_strides):
+            total = total + cfg.cls_loss_weight * L.vfl_cls_loss(
+                cl[level], iou_t[level], targets[f"mask_s{s}"],
+                alpha=cfg.vfl_alpha, gamma=cfg.vfl_gamma,
+            )
+        return total + sum(r.sum() * 0.0 for r in rd) + eps
+
+    def reg_only(params, b, eps=0.0):
+        targets = build_train_targets(b, cfg)
+        cl, rd = apply_model(params, b)
+        total = 0.0
+        for level, s in enumerate(cfg.fpn_strides):
+            total = total + cfg.reg_loss_weight * L.normalized_reg_loss(
+                rd[level], targets[f"reg_target_s{s}"],
+                targets[f"reg_weight_s{s}"], targets[f"reg_norm_weight_s{s}"],
+                smooth_l1_scalar=cfg.smooth_l1_scalar, l1=cfg.l1_loss,
+            )
+        return total + sum(c.sum() * 0.0 for c in cl) + eps
+
+    def raw_sums(params, b, eps=0.0):
+        # floor: read every loss input once, no transcendentals/masks
+        targets = build_train_targets(b, cfg)
+        cl, rd = apply_model(params, b)
+        iou_t = iou_targets_per_level(rd, targets, cfg)
+        total = 0.0
+        for level, s in enumerate(cfg.fpn_strides):
+            total = total + cl[level].sum() + rd[level].sum() \
+                + iou_t[level].sum() + targets[f"mask_s{s}"].sum() \
+                + targets[f"reg_target_s{s}"].sum() \
+                + targets[f"reg_weight_s{s}"].sum() \
+                + targets[f"reg_norm_weight_s{s}"].sum()
+        return total + eps
+
     variants = [("full", full), ("no_iou", no_iou), ("pre_tgt", pre_tgt),
-                ("no_tail", no_tail)]
+                ("no_tail", no_tail), ("planar", planar),
+                ("cls_only", cls_only), ("reg_only", reg_only),
+                ("raw_sums", raw_sums)]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [(n, f) for n, f in variants if n in keep]
 
     null = jax.jit(lambda x, eps=0.0: x + 1.0 + eps)
     timeit("null_dispatch", null, jnp.zeros(()))
@@ -148,14 +239,16 @@ def main():
     # pre_tgt drops target-gen (its compute_losses still runs the iou
     # target); no_tail = fwd only. So iou = full-no_iou, targets =
     # full-pre_tgt, losses = remainder.
-    print(json.dumps({
-        "iou_target_ms": round(res["full"] - res["no_iou"], 2),
-        "target_gen_ms": round(res["full"] - res["pre_tgt"], 2),
-        "loss_ms": round(
-            res["pre_tgt"] - res["no_tail"] - (res["full"] - res["no_iou"]), 2
-        ),
-        "tail_total_ms": round(res["full"] - res["no_tail"], 2),
-    }), flush=True)
+    if all(k in res for k in ("full", "no_iou", "pre_tgt", "no_tail")):
+        print(json.dumps({
+            "iou_target_ms": round(res["full"] - res["no_iou"], 2),
+            "target_gen_ms": round(res["full"] - res["pre_tgt"], 2),
+            "loss_ms": round(
+                res["pre_tgt"] - res["no_tail"]
+                - (res["full"] - res["no_iou"]), 2
+            ),
+            "tail_total_ms": round(res["full"] - res["no_tail"], 2),
+        }), flush=True)
 
     if args.grad:
         gres = {}
@@ -163,6 +256,8 @@ def main():
             g = jax.jit(lambda p, b, eps=0.0, _f=fn: jax.grad(
                 lambda pp: _f(pp, b, eps=eps))(p))
             gres[name] = timeit(f"grad_{name}", g, state.params, batch)
+        if not all(k in gres for k in ("full", "no_iou", "pre_tgt", "no_tail")):
+            return
         print(json.dumps({
             "grad_iou_target_ms": round(gres["full"] - gres["no_iou"], 2),
             "grad_target_gen_ms": round(gres["full"] - gres["pre_tgt"], 2),
