@@ -106,7 +106,7 @@ def _green_inter_scalar_gt(ax, ay, gx, gy):
     return jnp.maximum(pieces_a_in_g() + pieces_g_in_a(), 0.0) * 0.5
 
 
-def _kernel(cand_ref, delta_ref, pc_ref, out_ref, *, G):
+def _kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G):
     blk = pl.program_id(0)
     d = delta_ref[0]  # (8, 16, 128)
     pcx, pcy = pc_ref[0, 0], pc_ref[0, 1]
@@ -148,21 +148,25 @@ def _kernel(cand_ref, delta_ref, pc_ref, out_ref, *, G):
         one = jnp.where((sa < EPS) | (sb < EPS), 0.0, one)
         return jnp.maximum(iou_max, one)
 
+    # dynamic trip count: candidates are ordered by circumcircle clearance,
+    # and nv counts those that can possibly overlap any pixel of this block
+    # (clearance <= 0) — far blocks run zero clip iterations
     iou = jax.lax.fori_loop(
-        0, G, body, jnp.zeros((TILE_S, TILE_L), jnp.float32)
+        0, nv_ref[blk], body, jnp.zeros((TILE_S, TILE_L), jnp.float32)
     )
     iou = jnp.where(jnp.isfinite(iou), iou, 0.0)
     iou = jnp.where((iou < 0.0) | (iou > 1.0), 0.0, iou)
     out_ref[0] = iou
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def iou_target_fused(
     deltas: jnp.ndarray,
     pc: jnp.ndarray,
     gt_corners: jnp.ndarray,
     topk_gt: int = 32,
     interpret: bool = False,
+    skip_far: bool = True,
 ) -> jnp.ndarray:
     """deltas (B, H, W, 8), pc (B, H, W, 3), gt_corners (B, M, 4, 2)
     -> iou (B, H, W).
@@ -175,6 +179,13 @@ def iou_target_fused(
     **column-major** so each 2048-pixel block is 32 image columns × 64 rows —
     a few degrees of azimuth — making the block-level GT candidate list tight
     (row-major blocks would span most of a 360° row and see every box).
+
+    Far-block skip: candidates are ordered per block by *circumcircle
+    clearance* (block-min center distance − block-max predicted circumradius
+    − GT circumradius; degenerate/padded GT rows get +inf) and the kernel's
+    clip loop runs only over the nv candidates with clearance <= 0 — any
+    skipped (block, gt) pair provably has IoU 0, so the output is unchanged
+    while most blocks of a sparse scene run few or zero clip iterations.
     """
     B, H, W, _ = deltas.shape
     N = H * W
@@ -212,10 +223,38 @@ def iou_target_fused(
     ) ** 2  # (B, N, M)
     d2 = jnp.pad(d2, ((0, 0), (0, padN), (0, 0)), constant_values=jnp.inf)
     block_min = d2.reshape(B, nb, TILE, M).min(axis=2)  # (B, nb, M)
-    if G < M:
-        _, bidx = jax.lax.top_k(-block_min, G)  # (B, nb, G)
-    else:
-        bidx = jnp.broadcast_to(jnp.arange(M)[None, None], (B, nb, M))
+
+    # circumcircle clearance per (block, gt): if even the block's largest
+    # predicted circle at its nearest pixel cannot reach the GT's circle,
+    # every pixel of the block has IoU 0 with that GT
+    r_pred = 0.5 * jnp.sqrt(
+        jnp.exp(deltas[..., 2]) ** 2 + jnp.exp(deltas[..., 3]) ** 2
+    )  # (B, N)
+    rp = jnp.pad(r_pred, ((0, 0), (0, padN)))
+    rp_max = rp.reshape(B, nb, TILE).max(axis=2)  # (B, nb)
+    r_gt = jnp.sqrt(
+        ((gt_ccw - gc[:, :, None, :]) ** 2).sum(-1).max(-1)
+    )  # (B, M) corner-to-center circumradius
+    clearance = (
+        jnp.sqrt(block_min) - rp_max[..., None] - r_gt[:, None, :]
+    )  # (B, nb, M)
+    clearance = jnp.where(gt_area[:, None, :] < EPS, jnp.inf, clearance)
+
+    # order candidates by ascending clearance with a sort-free rank trick
+    # (lax.sort/top_k on small trailing axes is pathologically slow on v5e);
+    # the kernel's dynamic trip count nv then makes "clearance <= 0" a prefix
+    lt = clearance[..., None, :] < clearance[..., :, None]  # key_j < key_i
+    eqk = clearance[..., None, :] == clearance[..., :, None]
+    jlt = jnp.arange(M)[None, :] < jnp.arange(M)[:, None]  # tie-break: j < i
+    rank = (lt | (eqk & jlt)).sum(-1).astype(jnp.int32)  # (B, nb, M)
+    sel = rank[..., None, :] == jnp.arange(G, dtype=jnp.int32)[:, None]
+    bidx = (sel * jnp.arange(M, dtype=jnp.int32)).sum(-1)  # (B, nb, G)
+    nv = jnp.minimum(
+        (clearance <= 0.0).sum(-1).astype(jnp.int32), G
+    )  # (B, nb)
+    if not skip_far:
+        nv = jnp.full_like(nv, G)
+    nv = nv.reshape(B * nb)
 
     # per-block candidate rows: [8 corners, area] × G
     gt9 = jnp.concatenate(
@@ -240,6 +279,7 @@ def iou_target_fused(
             # whole candidate table in SMEM (blocked SMEM specs require
             # (8,128)-divisible blocks); rows indexed by program_id
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nv: per-block trip count
             pl.BlockSpec((1, 8, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
@@ -249,19 +289,19 @@ def iou_target_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * nb, TILE_S, TILE_L), jnp.float32),
         interpret=interpret,
-    )(cand, deltas_p, pc_p)
+    )(cand, nv, deltas_p, pc_p)
 
     out = out.reshape(B, nb * TILE)[:, :N]
     # undo the column-major ordering
     return out.reshape(B, W, H).transpose(0, 2, 1)
 
 
-def _iou_target_fwd(deltas, pc, gt_corners, topk_gt, interpret):
-    out = iou_target_fused(deltas, pc, gt_corners, topk_gt, interpret)
+def _iou_target_fwd(deltas, pc, gt_corners, topk_gt, interpret, skip_far):
+    out = iou_target_fused(deltas, pc, gt_corners, topk_gt, interpret, skip_far)
     return out, (deltas, pc, gt_corners)
 
 
-def _iou_target_bwd(topk_gt, interpret, res, g):
+def _iou_target_bwd(topk_gt, interpret, skip_far, res, g):
     deltas, pc, gt_corners = res
     return (
         jnp.zeros_like(deltas),

@@ -102,10 +102,22 @@ def main():
     fa = jax.jit(full_all)
     timeit("iou_all_levels", lambda eps: fa(eps, dlist, plist, gc0))
 
+    def full_all_noskip(eps, ds, ps, gc):
+        tot = 0.0
+        for d, pc in zip(ds, ps):
+            tot = tot + itp.iou_target_fused(
+                d + eps, pc, gc, max(cfg.iou_topk_gt, 32), interp, False
+            ).sum()
+        return jnp.asarray(tot)[None]
+
+    fns = jax.jit(full_all_noskip)
+    timeit("iou_all_levels_noskip", lambda eps: fns(eps, dlist, plist, gc0))
+
     # prep-only: monkeypatch the kernel body to a copy (same BlockSpecs, same
     # prep graph; the clip loop knocked out)
-    def _copy_kernel(cand_ref, delta_ref, pc_ref, out_ref, *, G):
-        out_ref[0] = delta_ref[0, 0] + pc_ref[0, 0] + cand_ref[0, 0]
+    def _copy_kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G):
+        out_ref[0] = delta_ref[0, 0] + pc_ref[0, 0] + cand_ref[0, 0] \
+            + nv_ref[0].astype(jnp.float32)
 
     orig = itp._kernel
     itp._kernel = _copy_kernel
