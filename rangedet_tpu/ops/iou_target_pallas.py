@@ -106,7 +106,7 @@ def _green_inter_scalar_gt(ax, ay, gx, gy):
     return jnp.maximum(pieces_a_in_g() + pieces_g_in_a(), 0.0) * 0.5
 
 
-def _kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G):
+def _kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G, mode):
     blk = pl.program_id(0)
     d = delta_ref[0]  # (8, 16, 128)
     pcx, pcy = pc_ref[0, 0], pc_ref[0, 1]
@@ -148,15 +148,45 @@ def _kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G):
         one = jnp.where((sa < EPS) | (sb < EPS), 0.0, one)
         return jnp.maximum(iou_max, one)
 
-    # dynamic trip count: candidates are ordered by circumcircle clearance,
-    # and nv counts those that can possibly overlap any pixel of this block
-    # (clearance <= 0) — far blocks run zero clip iterations
-    iou = jax.lax.fori_loop(
-        0, nv_ref[blk], body, jnp.zeros((TILE_S, TILE_L), jnp.float32)
-    )
-    iou = jnp.where(jnp.isfinite(iou), iou, 0.0)
-    iou = jnp.where((iou < 0.0) | (iou > 1.0), 0.0, iou)
-    out_ref[0] = iou
+    # candidates are clearance-ordered (ascending); nv counts those that can
+    # possibly overlap any pixel of this block (clearance <= 0), so skipped
+    # candidates provably contribute IoU 0. Skip strategies:
+    #   none  — static G-trip loop (no skip; nv unused)
+    #   dyn   — dynamic nv-trip loop (minimal work, but the data-dependent
+    #           bound costs Mosaic its static unroll/pipelining)
+    #   gate  — static G-trip loop, whole block skipped when nv == 0
+    #   gate8 — dynamic ceil(nv/8)-trip loop over an 8-unrolled body (the
+    #           overshoot candidates are real clearance-ordered GT rows or
+    #           zero-area padding, so extra iterations are exact no-ops)
+    zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+
+    def finish(iou):
+        iou = jnp.where(jnp.isfinite(iou), iou, 0.0)
+        return jnp.where((iou < 0.0) | (iou > 1.0), 0.0, iou)
+
+    if mode == "none":
+        out_ref[0] = finish(jax.lax.fori_loop(0, G, body, zero))
+    elif mode == "dyn":
+        out_ref[0] = finish(jax.lax.fori_loop(0, nv_ref[blk], body, zero))
+    elif mode == "gate":
+        out_ref[0] = zero
+
+        @pl.when(nv_ref[blk] > 0)
+        def _():
+            out_ref[0] = finish(jax.lax.fori_loop(0, G, body, zero))
+
+    elif mode == "gate8":
+        assert G % 8 == 0, "gate8 needs the candidate table padded to 8"
+
+        def body8(t, iou_max):
+            for k in range(8):
+                iou_max = body(t * 8 + k, iou_max)
+            return iou_max
+
+        nv8 = (nv_ref[blk] + 7) // 8
+        out_ref[0] = finish(jax.lax.fori_loop(0, nv8, body8, zero))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown skip mode {mode!r}")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -166,7 +196,7 @@ def iou_target_fused(
     gt_corners: jnp.ndarray,
     topk_gt: int = 32,
     interpret: bool = False,
-    skip_far: bool = True,
+    skip_far="gate8",
 ) -> jnp.ndarray:
     """deltas (B, H, W, 8), pc (B, H, W, 3), gt_corners (B, M, 4, 2)
     -> iou (B, H, W).
@@ -186,7 +216,11 @@ def iou_target_fused(
     clip loop runs only over the nv candidates with clearance <= 0 — any
     skipped (block, gt) pair provably has IoU 0, so the output is unchanged
     while most blocks of a sparse scene run few or zero clip iterations.
+    ``skip_far`` selects the strategy: False/"none" (static full loop),
+    "dyn" (dynamic trip count), "gate" (static loop, empty blocks skipped),
+    True/"gate8" (8-unrolled dynamic trip count) — see _kernel.
     """
+    mode = {True: "gate8", False: "none"}.get(skip_far, skip_far)
     B, H, W, _ = deltas.shape
     N = H * W
     M = gt_corners.shape[1]
@@ -252,16 +286,22 @@ def iou_target_fused(
     nv = jnp.minimum(
         (clearance <= 0.0).sum(-1).astype(jnp.int32), G
     )  # (B, nb)
-    if not skip_far:
+    if mode == "none":
         nv = jnp.full_like(nv, G)
     nv = nv.reshape(B * nb)
 
-    # per-block candidate rows: [8 corners, area] × G
+    # per-block candidate rows: [8 corners, area] × G; gate8 pads the table
+    # to an 8-multiple with zero-area rows (exact IoU-0 no-ops)
     gt9 = jnp.concatenate(
         [gt_ccw.reshape(B, M, 8), gt_area[..., None]], axis=-1
     )  # (B, M, 9)
     cand = jax.vmap(lambda g, i: g[i.reshape(-1)])(gt9, bidx)  # (B, nb*G, 9)
-    cand = cand.reshape(B * nb, G * 9)
+    cand = cand.reshape(B * nb, G, 9)
+    Gk = G
+    if mode == "gate8" and G % 8:
+        Gk = -(-G // 8) * 8
+        cand = jnp.pad(cand, ((0, 0), (0, Gk - G), (0, 0)))
+    cand = cand.reshape(B * nb, Gk * 9)
 
     def planar(x, C):
         x = jnp.pad(x, ((0, 0), (0, padN), (0, 0)))
@@ -273,7 +313,7 @@ def iou_target_fused(
     pc_p = planar(pc, 3)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, G=G),
+        functools.partial(_kernel, G=Gk, mode=mode),
         grid=(B * nb,),
         in_specs=[
             # whole candidate table in SMEM (blocked SMEM specs require

@@ -84,14 +84,17 @@ def test_degenerate_and_padded_gt_rows_are_iou0():
     )
 
 
-def test_far_block_skip_is_exact():
-    """skip_far=True must be bit-identical to running every candidate,
-    including with M > topk_gt (selection is clearance-ordered in both)."""
+@pytest.mark.parametrize("mode", ["dyn", "gate", "gate8"])
+def test_far_block_skip_is_exact(mode):
+    """Every skip strategy must be bit-identical to running every candidate,
+    including with M > topk_gt (selection is clearance-ordered in both) and
+    with a non-8-multiple G (gate8 pads the candidate table)."""
     B, H, W, M = 1, 8, 512, 24
     deltas, pc, gt = _scene(B, H, W, M, seed=5)
-    a = iou_target_fused(deltas, pc, gt, 8, INTERP, True)
-    b = iou_target_fused(deltas, pc, gt, 8, INTERP, False)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for G in (8, 12):
+        a = iou_target_fused(deltas, pc, gt, G, INTERP, mode)
+        b = iou_target_fused(deltas, pc, gt, G, INTERP, False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_zero_gt_gives_zero_target():

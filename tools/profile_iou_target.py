@@ -91,31 +91,47 @@ def main():
     null = jax.jit(lambda x, eps: x + 1.0 + eps)
     timeit("null_dispatch", lambda eps, x=jnp.zeros(()): null(x, eps))
 
-    def full_all(eps, ds, ps, gc):
-        tot = 0.0
-        for d, pc in zip(ds, ps):
-            tot = tot + itp.iou_target_fused(
-                d + eps, pc, gc, max(cfg.iou_topk_gt, 32), interp
-            ).sum()
-        return jnp.asarray(tot)[None]
+    def make_full_all(mode):
+        def full_all(eps, ds, ps, gc):
+            tot = 0.0
+            for d, pc in zip(ds, ps):
+                tot = tot + itp.iou_target_fused(
+                    d + eps, pc, gc, max(cfg.iou_topk_gt, 32), interp, mode
+                ).sum()
+            return jnp.asarray(tot)[None]
 
-    fa = jax.jit(full_all)
-    timeit("iou_all_levels", lambda eps: fa(eps, dlist, plist, gc0))
+        return jax.jit(full_all)
 
-    def full_all_noskip(eps, ds, ps, gc):
-        tot = 0.0
-        for d, pc in zip(ds, ps):
-            tot = tot + itp.iou_target_fused(
-                d + eps, pc, gc, max(cfg.iou_topk_gt, 32), interp, False
-            ).sum()
-        return jnp.asarray(tot)[None]
+    # interleaved multi-round medians: the tunneled chip's contention drifts
+    # on the ~minute scale, so A-then-B timing lies; round-robin the modes
+    modes = ["none", "dyn", "gate", "gate8"]
+    fns = {m: make_full_all(m) for m in modes}
+    rounds = {m: [] for m in modes}
+    for m in modes:  # compile + warm
+        jax.block_until_ready(fns[m](jnp.zeros(()), dlist, plist, gc0))
+    for _ in range(5):
+        for m in modes:
+            eps = jnp.zeros(())
+            out = fns[m](eps, dlist, plist, gc0)
+            float(np.asarray(out).ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(N):
+                out = fns[m](eps, dlist, plist, gc0)
+                eps = out.ravel()[0] * 0
+            float(np.asarray(out).ravel()[0])
+            rounds[m].append((time.perf_counter() - t0) / N * 1000)
+    for m in modes:
+        r = sorted(rounds[m])
+        print(json.dumps({"part": f"iou_all_levels_{m}",
+                          "ms_median": round(r[len(r) // 2], 2),
+                          "ms_rounds": [round(x, 2) for x in r]}), flush=True)
 
-    fns = jax.jit(full_all_noskip)
-    timeit("iou_all_levels_noskip", lambda eps: fns(eps, dlist, plist, gc0))
+    full_all = make_full_all("gate8")
+    fa = full_all
 
     # prep-only: monkeypatch the kernel body to a copy (same BlockSpecs, same
     # prep graph; the clip loop knocked out)
-    def _copy_kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G):
+    def _copy_kernel(cand_ref, nv_ref, delta_ref, pc_ref, out_ref, *, G, mode):
         out_ref[0] = delta_ref[0, 0] + pc_ref[0, 0] + cand_ref[0, 0] \
             + nv_ref[0].astype(jnp.float32)
 

@@ -109,15 +109,15 @@ def main():
             )
             if kind == "planar":
                 total = planar_compute_losses(cl, rd, targets)
-            elif kind == "noskip":
-                import rangedet_tpu.models.detector as det
+            elif kind == "noskip" or kind.startswith("skip_"):
                 from rangedet_tpu.ops import iou_target_pallas as itp
                 orig = itp.iou_target_fused
-                # trace-time switch: wrap with skip_far=False
-                def noskip(d, pc, gc, topk_gt=32, interpret=interp,
-                           skip_far=True, _o=orig):
-                    return _o(d, pc, gc, topk_gt, interpret, False)
-                itp.iou_target_fused = noskip
+                mode = False if kind == "noskip" else kind[len("skip_"):]
+                # trace-time switch: wrap with the chosen skip strategy
+                def forced(d, pc, gc, topk_gt=32, interpret=interp,
+                           skip_far=True, _o=orig, _m=mode):
+                    return _o(d, pc, gc, topk_gt, interpret, _m)
+                itp.iou_target_fused = forced
                 try:
                     total, _ = compute_losses(cl, rd, targets, cfg)
                 finally:
