@@ -156,19 +156,24 @@ def _quad_intersection_area_candidates(a: jnp.ndarray, b: jnp.ndarray) -> jnp.nd
     # --- (b) corner containment ----------------------------------------------
     def _corners_inside(quad, pts):
         # quad: (..., 4, 2); pts: (..., 4, 2) -> (..., 4) bool, same-side test.
-        # Boundary-inclusive (|pos| <= eps counts as on either side): the
+        # Boundary-inclusive (|pos| <= tol counts as on either side): the
         # reference's strict test (check_in_box2d_8pts, rotated_iou-inl.h:
         # 112-128) returns *0 IoU for exactly identical boxes* because shared
         # corners fail it; robust handling only changes knife-edge cases.
+        # The tolerance must be RELATIVE: pos = cross(e, p-c0) carries f32
+        # rounding noise ~ulp(|e||p-c0|), and under jit XLA's FMA/reassociation
+        # perturbs exactly-on-boundary points by that scale (coordinates ~50 m
+        # give noise ~1e-4, far above any absolute 1e-8 epsilon).
         c0 = quad[..., None, :, :]  # (..., 1, 4, 2)
         c1 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
-        px = pts[..., :, None, 0]
-        py = pts[..., :, None, 1]
-        pos = (c1[..., 0] - c0[..., 0]) * (py - c0[..., 1]) - (
-            c1[..., 1] - c0[..., 1]
-        ) * (px - c0[..., 0])
-        any_pos = jnp.any(pos > EPS, axis=-1)
-        any_neg = jnp.any(pos < -EPS, axis=-1)
+        ex = c1[..., 0] - c0[..., 0]
+        ey = c1[..., 1] - c0[..., 1]
+        rx = pts[..., :, None, 0] - c0[..., 0]
+        ry = pts[..., :, None, 1] - c0[..., 1]
+        pos = ex * ry - ey * rx
+        tol = 1e-5 * jnp.sqrt((ex * ex + ey * ey) * (rx * rx + ry * ry)) + EPS
+        any_pos = jnp.any(pos > tol, axis=-1)
+        any_neg = jnp.any(pos < -tol, axis=-1)
         return ~(any_pos & any_neg)
 
     b_in_a = _corners_inside(a, b)  # (..., 4)
@@ -248,6 +253,51 @@ def iou_bev_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Equivalent of ``mx.nd.contrib.RotatedIOU`` in 8-pt mode.
     """
     return iou_bev_corners(a[:, None], b[None, :])
+
+
+def iou_bev_matrix_robust(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs BEV IoU via the candidate-vertex (reference) formulation.
+
+    Boundary-inclusive and numerically stable where the Liang–Barsky piece
+    form is chaotic — exactly colinear edges, i.e. identical or touching
+    boxes (a 90°-rotated square footprint measured IoU 671276 through
+    quad_intersection_area). The reference's strict containment test returns
+    0 there (rotated_iou-inl.h:112-128); boundary-inclusive handling returns
+    the correct 1. ~4× the arithmetic of iou_bev_matrix — meant for the
+    host-side evaluator (eval/ap.py), not the train graph.
+    """
+    from .boxes import polygon_area
+
+    inter = _quad_intersection_area_candidates(a[:, None], b[None, :])
+    sa = jnp.abs(polygon_area(a))[:, None]
+    sb = jnp.abs(polygon_area(b))[None, :]
+    iou = inter / jnp.maximum(sa + sb - inter, EPS)
+    iou = jnp.clip(iou, 0.0, 1.0)
+    return jnp.where((sa < EPS) | (sb < EPS), 0.0, iou)
+
+
+def iou_3d_csa_robust(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3D IoU of csa7 boxes, BEV overlap via the candidate-vertex formulation
+    (see iou_bev_matrix_robust) — the host-side evaluator's variant."""
+    from .boxes import csa_to_corners_bev, polygon_area
+
+    ca = csa_to_corners_bev(a)
+    cb = csa_to_corners_bev(b)
+    sa = a[..., 3] * a[..., 4] * a[..., 5]
+    sb = b[..., 3] * b[..., 4] * b[..., 5]
+    s_overlap = jnp.minimum(
+        _quad_intersection_area_candidates(ca, cb),
+        jnp.minimum(jnp.abs(polygon_area(ca)), jnp.abs(polygon_area(cb))),
+    )
+    h_overlap = jnp.maximum(
+        0.0,
+        jnp.minimum(a[..., 2] + a[..., 5] / 2, b[..., 2] + b[..., 5] / 2)
+        - jnp.maximum(a[..., 2] - a[..., 5] / 2, b[..., 2] - b[..., 5] / 2),
+    )
+    inter = s_overlap * h_overlap
+    iou = inter / jnp.maximum(sa + sb - inter, EPS)
+    iou = jnp.clip(iou, 0.0, 1.0)
+    return jnp.where((sa < EPS) | (sb < EPS), 0.0, iou)
 
 
 def iou_3d_csa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
