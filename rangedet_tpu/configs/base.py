@@ -120,6 +120,12 @@ class RangeDetConfig:
     # extra chunks. 0 = single full row per round (slow worst case: ~4x the
     # per-round cost at 4096 candidates)
     wnms_prefilter_topm: int = 512
+    # blocked greedy sweep: select the next N alive candidates with one
+    # top_k and batch their exact IoU rows as a (N, K) clip, resolving the
+    # greedy chain in-block (ops/nms.py weighted_nms(block=...)). Exact;
+    # amortises the per-round selection machinery the serial form pays.
+    # 0 = serial rounds (chunked circumcircle prefilter above applies)
+    wnms_block: int = 0
     max_det_per_image: int = 100
 
     # ------------------------------------------------------------- optimize

@@ -343,6 +343,7 @@ def run_inference(
                 max_keep=post_n,
                 iou_3d=cfg.wnms_is_3d,
                 prefilter_topm=cfg.wnms_prefilter_topm,
+                block=cfg.wnms_block,
             )
             # the device_topk cap binding makes the device output a (flagged)
             # approximation of the reference's unbounded host WNMS; the WNMS

@@ -94,6 +94,7 @@ def weighted_nms(
     max_keep: int,
     iou_3d: bool = False,
     prefilter_topm: int = 0,
+    block: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted NMS over 11-dim dets.
 
@@ -113,6 +114,19 @@ def weighted_nms(
         nearest-first until exhausted, so the result is EXACT unconditionally:
         the common case (≤ topm circumcircle collisions) costs one chunk, a
         crowded round simply runs extra chunks instead of approximating.
+      block: if > 0, run the greedy sweep in BLOCKS of this many candidates:
+        each outer round selects the next ``block`` alive candidates in score
+        order with ONE top_k and computes their exact IoU rows as one
+        vectorized (block, K) batch, then resolves the greedy dependency
+        chain serially in-block with cheap masked vector ops. Exact — the
+        IoU row of a candidate is independent of the suppression state, and
+        any candidate positioned between two block members was already dead
+        at selection time, so emitting still-alive block members in order
+        replicates the serial sweep. Suppression at thr 0.1 is aggressive,
+        so a block typically spans several distinct objects and emits
+        several survivors per outer round, amortising the per-round
+        top_k/gather machinery that dominates the serial form on TPU.
+        Mutually exclusive with prefilter_topm (block rows are full rows).
 
     Returns:
       out12: (max_keep, 12) weighted boxes [avg 11-dim, survivor score].
@@ -138,6 +152,68 @@ def weighted_nms(
         jnp.max(jnp.sum((corners - centers[:, None]) ** 2, axis=-1), axis=-1)
     )  # (K,) circumradius around the corner centroid
     M = min(prefilter_topm, K) if prefilter_topm else 0
+
+    if block:
+        B = min(block, K)
+
+        def blk_cond(state):
+            suppressed, rows, row_valid, r = state
+            return (r < max_keep) & jnp.any(valid & ~suppressed)
+
+        def blk_body(state):
+            suppressed, rows, row_valid, r = state
+            # next B alive candidates in score order: ONE top_k for the
+            # whole block (the serial form pays one selection per round)
+            alive0 = valid & ~suppressed
+            key = jnp.where(alive0, arange, K)
+            neg_key, sub = jax.lax.top_k(-key, B)  # key ascending
+            sub_ok = neg_key > -K  # member was alive at selection time
+            # exact IoU rows for the whole block, one vectorized batch
+            iou_blk = jax.vmap(
+                lambda j: _det_iou(dets11, dets11[j], iou_3d)
+            )(sub)  # (B, K)
+
+            def emit(b, st):
+                suppressed, rows, row_valid, r = st
+                pos = sub[b]
+                alive = valid & ~suppressed
+                # still alive after in-block suppression by earlier emits
+                # (every candidate between two block members was already
+                # dead at selection time, so this replicates serial greedy)
+                is_surv = sub_ok[b] & alive[pos] & (r < max_keep)
+                iou_row = iou_blk[b]
+                score_i = scores[pos]
+                yaw_i = yaw[pos]
+                voters = (alive & (iou_row > thresh_vote)) | (arange == pos)
+                median = _median_yaw_presorted(
+                    voters[yaw_order], yaw_sorted, yaw_i
+                )
+                yaw_ok = jnp.mod(jnp.abs(yaw - median), TWO_PI) < YAW_REJECT
+                w = jnp.where(voters & yaw_ok, jnp.maximum(scores, 0.0), 0.0)
+                wsum = jnp.maximum(jnp.sum(w), 1e-12)
+                avg11 = jnp.sum(w[:, None] * dets11, axis=0) / wsum
+                row = jnp.concatenate([avg11, score_i[None]])
+                r_clip = jnp.minimum(r, max_keep - 1)
+                rows = jnp.where(is_surv, rows.at[r_clip].set(row), rows)
+                row_valid = jnp.where(
+                    is_surv, row_valid.at[r_clip].set(True), row_valid
+                )
+                new_sup = (
+                    suppressed | (alive & (iou_row >= thresh)) | (arange == pos)
+                )
+                suppressed = jnp.where(is_surv, new_sup, suppressed)
+                return suppressed, rows, row_valid, r + is_surv.astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, B, emit, (suppressed, rows, row_valid, r))
+
+        init = (
+            ~valid,
+            jnp.zeros((max_keep, 12), jnp.float32),
+            jnp.zeros((max_keep,), bool),
+            jnp.asarray(0, jnp.int32),
+        )
+        _, rows, row_valid, _ = jax.lax.while_loop(blk_cond, blk_body, init)
+        return rows, row_valid
 
     def iou_row_of(one, idx):
         if not M:

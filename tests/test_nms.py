@@ -230,3 +230,40 @@ def test_wnms_prefilter_exact(rng):
     np.testing.assert_allclose(
         np.asarray(d_exact), np.asarray(d_fast), rtol=1e-6, atol=1e-6
     )
+
+
+def test_wnms_blocked_exact(rng):
+    # The blocked greedy sweep (nms.py:weighted_nms block=...) must be
+    # output-identical to the serial path: IoU rows are suppression-state
+    # independent, so emitting still-alive block members in score order
+    # replicates serial greedy exactly. Covers block sizes that divide /
+    # straddle the survivor count, partial validity, voting clusters, a
+    # max_keep that binds mid-block, and blocks larger than K.
+    n = 256
+    dets = _make_dets(rng, n, scale=20.0)
+    for k in range(0, 64, 4):  # near-duplicate clusters (voting + median)
+        dets[k + 1 : k + 4] = dets[k]
+        dets[k + 1 : k + 4, :8] += rng.uniform(-0.2, 0.2, (3, 8))
+        dets[k + 1 : k + 4, 11] = rng.uniform(0.05, 1.0, 3)
+    valid = rng.uniform(size=n) > 0.2  # some invalid candidates
+
+    args = (jnp.asarray(dets[:, :11]), jnp.asarray(dets[:, 11]),
+            jnp.asarray(valid))
+    for max_keep in (7, 64):  # 7 binds mid-block for every tested block
+        kw = dict(thresh=0.1, thresh_vote=0.5, max_keep=max_keep)
+        ref, v_ref = nms.weighted_nms(*args, **kw, prefilter_topm=0)
+        for blk in (1, 4, 8, 19, 512):
+            out, v = nms.weighted_nms(*args, **kw, block=blk)
+            np.testing.assert_array_equal(
+                np.asarray(v_ref), np.asarray(v), err_msg=f"block={blk}")
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), rtol=1e-6, atol=1e-6,
+                err_msg=f"block={blk}")
+
+    # 3D-IoU mode too (volumetric row formula shares the block path)
+    kw3 = dict(thresh=0.1, thresh_vote=0.5, max_keep=32, iou_3d=True)
+    ref3, v3 = nms.weighted_nms(*args, **kw3)
+    out3, vb3 = nms.weighted_nms(*args, **kw3, block=8)
+    np.testing.assert_array_equal(np.asarray(v3), np.asarray(vb3))
+    np.testing.assert_allclose(
+        np.asarray(ref3), np.asarray(out3), rtol=1e-6, atol=1e-6)

@@ -245,6 +245,35 @@ def profile_eval(args, jax, jnp, np, timeit, state):
     timeit(f"wnms_only_b{args.eval_batch}", jax.jit(wnms_only),
            box11, sc, valid)
 
+    # blocked greedy sweep A/B (ops/nms.py weighted_nms block=...): exact,
+    # batches the per-round selection + IoU row machinery B rounds at a time
+    for blk in (4, 8, 16, 32):
+        def wnms_blk(b11, s, v, blk=blk):
+            out12, ov = jax.vmap(lambda bb, ss, vv: ops_nms.weighted_nms(
+                bb, ss, vv, thresh=cfg_t.wnms_thr_lo,
+                thresh_vote=cfg_t.wnms_thr_hi,
+                max_keep=cfg_t.post_nms_top_n[name],
+                iou_3d=cfg_t.wnms_is_3d,
+                block=blk,
+            ))(b11, s, v)
+            return out12.sum() + ov.sum()
+
+        timeit(f"wnms_block{blk}_b{args.eval_batch}", jax.jit(wnms_blk),
+               box11, sc, valid)
+
+    # full eval step with the blocked sweep wired through the config
+    for blk in (8, 16):
+        cfg_b = cfg_t.replace(wnms_block=blk)
+
+        def eval_full_blk(params, b, cfg_b=cfg_b):
+            cl, rd = eval_fwd(params, b)
+            out = run_inference(cl, rd, b, cfg_b)
+            nm = cfg_b.class_names[0]
+            return out[nm]["boxes"].sum() + out[nm]["valid"].sum()
+
+        timeit(f"eval_full_block{blk}_b{args.eval_batch}",
+               jax.jit(eval_full_blk), state.params, ebatch)
+
 
 if __name__ == "__main__":
     main()
