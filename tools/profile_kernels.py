@@ -70,7 +70,7 @@ def main():
         )
 
         def vjp_step(x):
-            dx, dw = jax.vjp(lambda a: conv3x3_bhcw(a, w), x)[1](gy)
+            dx, dw = jax.vjp(lambda a: conv3x3_bhcw(a, w), x, w)[1](gy)
             return dx
 
         timeit(f"conv{C} full vjp", vjp_step, x0)
