@@ -30,15 +30,20 @@ def main():
     N = args.iters
 
     def timeit(name, step, x0):
-        """step: x -> x' (same shape/dtype); chained N times."""
-        f = jax.jit(step)
-        x = f(x0)
-        x = f(x)
-        jax.block_until_ready(x)
+        """step: x -> x' (same shape/dtype); chained N times INSIDE one jit.
+
+        N separate jit calls do not pipeline on the tunneled axon backend —
+        each pays a ~30-130 ms round trip even when chained through device
+        buffers (measured: a 2.4 ms conv read as 113 ms). A fori_loop inside
+        a single jit runs the chain on device; one dispatch, one fetch.
+        """
+        f = jax.jit(
+            lambda x: jax.lax.fori_loop(0, N, lambda _, a: step(a), x)
+        )
+        x = f(x0)  # compile
         float(np.asarray(x).ravel()[0])
         t0 = time.perf_counter()
-        for _ in range(N):
-            x = f(x)
+        x = f(x0)
         float(np.asarray(x).ravel()[0])
         dt = (time.perf_counter() - t0) / N * 1000
         print(json.dumps({"part": name, "ms": round(dt, 3)}), flush=True)
@@ -70,8 +75,8 @@ def main():
         )
 
         def vjp_step(x):
-            dx, dw = jax.vjp(lambda a: conv3x3_bhcw(a, w), x, w)[1](gy)
-            return dx
+            dx, dw = jax.vjp(conv3x3_bhcw, x, w)[1](gy)
+            return dx + (dw.sum() * 1e-30).astype(x.dtype)
 
         timeit(f"conv{C} full vjp", vjp_step, x0)
         timeit(f"conv{C} bnrelu_stats fwd",
