@@ -258,7 +258,7 @@ def _supervise_attempts(env):
               f"({dt}s): {tail}", file=sys.stderr)
     print(json.dumps({
         "metric": "range-image frames/sec/chip (train+infer)",
-        "value": 0.0, "unit": "frames/s/chip", "vs_baseline": 0.0,
+        "value": None, "unit": "frames/s/chip", "vs_baseline": None,
         "error": "all bench attempts failed", "attempts": attempts,
     }))
     return 1

@@ -342,7 +342,10 @@ def run_inference(
                 thresh_vote=cfg.wnms_thr_hi,
                 max_keep=post_n,
                 iou_3d=cfg.wnms_is_3d,
-                prefilter_topm=cfg.wnms_prefilter_topm,
+                # the blocked sweep computes full IoU rows — the chunked
+                # circumcircle prefilter only applies to the serial form
+                # (block=0), so don't plumb it when block is set (ADVICE r4)
+                prefilter_topm=(0 if cfg.wnms_block else cfg.wnms_prefilter_topm),
                 block=cfg.wnms_block,
             )
             # the device_topk cap binding makes the device output a (flagged)

@@ -209,6 +209,12 @@ def iou_target_fused(
     **column-major** so each 2048-pixel block is 32 image columns × 64 rows —
     a few degrees of azimuth — making the block-level GT candidate list tight
     (row-major blocks would span most of a 360° row and see every box).
+    When MORE than G GTs genuinely overlap a block (nv > G), the candidate
+    list truncates at the G smallest-clearance rows — an accepted
+    approximation (the dropped rows are the geometrically farthest; the
+    result is a one-sided lower bound of the dense max-IoU, exact whenever
+    nv <= G). tests/test_iou_target_pallas.py::test_crowded_block_cap pins
+    this contract against the dense oracle.
 
     Far-block skip: candidates are ordered per block by *circumcircle
     clearance* (block-min center distance − block-max predicted circumradius

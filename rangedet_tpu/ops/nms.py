@@ -152,6 +152,12 @@ def weighted_nms(
         jnp.max(jnp.sum((corners - centers[:, None]) ** 2, axis=-1), axis=-1)
     )  # (K,) circumradius around the corner centroid
     M = min(prefilter_topm, K) if prefilter_topm else 0
+    if block and prefilter_topm:
+        raise ValueError(
+            "weighted_nms: block and prefilter_topm are mutually exclusive — "
+            "the blocked sweep computes full IoU rows, so a prefilter_topm "
+            "would silently have no effect (pass prefilter_topm=0 with block)"
+        )
 
     if block:
         B = min(block, K)

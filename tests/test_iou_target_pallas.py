@@ -97,6 +97,53 @@ def test_far_block_skip_is_exact(mode):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_crowded_block_cap_is_one_sided_and_exact_when_covered():
+    """ADVICE r4: with MORE than G GTs overlapping one block, the clearance-
+    ordered candidate truncation is an accepted approximation — pin its
+    contract vs the dense oracle: (a) capped output is a one-sided LOWER
+    bound of the dense max-IoU, (b) a G that covers the crowd is exact,
+    (c) the cap actually binds in this scene (the test is not vacuous)."""
+    B, H, W = 1, 8, 256
+    rng = np.random.RandomState(7)
+    az = np.linspace(-np.pi, np.pi, W, endpoint=False)
+    r = rng.uniform(3.0, 60.0, size=(B, H, W))
+    pc = np.stack(
+        [r * np.cos(az)[None, None], r * np.sin(az)[None, None],
+         rng.uniform(-1, 1, size=(B, H, W))], axis=-1
+    ).astype(np.float32)
+    deltas = (rng.randn(B, H, W, 8) * 0.3).astype(np.float32)
+    # a CROWD: 40 GT boxes all clustered around one pixel's neighborhood so
+    # a single column-major block sees far more than G=8 live candidates
+    M = 40
+    anchor = pc[0, 4, 37, :2]
+    ctr = anchor[None, None] + rng.uniform(-2.0, 2.0, size=(B, M, 2))
+    lw = rng.uniform(2.5, 6.0, size=(B, M, 2))
+    yaw = rng.uniform(-np.pi, np.pi, size=(B, M))
+    c, s = np.cos(yaw), np.sin(yaw)
+    hl, hw = lw[..., 0] / 2, lw[..., 1] / 2
+    lx = np.stack([hl, -hl, -hl, hl], -1)
+    wy = np.stack([hw, hw, -hw, -hw], -1)
+    gt = np.stack(
+        [ctr[..., :1] + lx * c[..., None] - wy * s[..., None],
+         ctr[..., 1:2] + lx * s[..., None] + wy * c[..., None]], axis=-1
+    ).astype(np.float32)
+    deltas, pc, gt = jnp.asarray(deltas), jnp.asarray(pc), jnp.asarray(gt)
+
+    dense = np.asarray(_oracle(deltas, pc, gt)).reshape(-1)
+    capped = np.asarray(
+        iou_target_fused(deltas, pc, gt, 8, INTERP)
+    ).reshape(-1)
+    covered = np.asarray(
+        iou_target_fused(deltas, pc, gt, M, INTERP)
+    ).reshape(-1)
+    # (a) one-sided: truncation can only LOWER the max-IoU
+    assert (capped <= dense + 2e-4).all()
+    # (b) exact when G covers every candidate
+    np.testing.assert_allclose(covered, dense, atol=2e-4, rtol=1e-3)
+    # (c) the cap binds somewhere in this crowd (non-vacuous)
+    assert (capped < dense - 1e-3).any()
+
+
 def test_zero_gt_gives_zero_target():
     B, H, W, M = 1, 8, 128, 4
     deltas, pc, gt = _scene(B, H, W, M, seed=3)

@@ -101,7 +101,9 @@ def main():
         cfg = cfg.replace(data_root=args.data_root)
     if args.epochs:
         cfg = cfg.replace(end_epoch=args.epochs)
-    if args.checkpoint_every:
+    if args.checkpoint_every is not None:
+        if args.checkpoint_every < 0:
+            raise SystemExit("--checkpoint-every must be >= 0 (0 disables)")
         cfg = cfg.replace(checkpoint_every_epochs=args.checkpoint_every)
     if args.experiment_dir:
         cfg = cfg.replace(experiment_dir=args.experiment_dir)
@@ -248,7 +250,8 @@ def main():
                 break
         jax.block_until_ready(state.params)
         logger.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
-        if jax.process_index() == 0 and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+        if (jax.process_index() == 0 and cfg.checkpoint_every_epochs
+                and (epoch + 1) % cfg.checkpoint_every_epochs == 0):
             path = save_checkpoint(state, cfg, epoch)
             logger.info(f"checkpoint: {path}")
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
