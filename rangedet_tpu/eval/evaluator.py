@@ -19,6 +19,8 @@ def evaluate(
     mode: str = "bev",
     max_frames: int = 0,
     metric: str = "ap",
+    eval_step=None,
+    prep=None,
 ) -> Dict[str, Dict[str, float]]:
     """frames: iterable of (batch_dict, gt_by_class) where batch_dict is a
     single-frame (B=1) input batch and gt_by_class maps class name -> either
@@ -37,8 +39,12 @@ def evaluate(
     from ..train.train_step import build_eval_inputs, make_eval_step
     from .ap import average_precision, waymo_metrics
 
-    eval_step = jax.jit(make_eval_step(model, cfg))
-    prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
+    # callers that evaluate repeatedly (train-loop validation) pass prebuilt
+    # jitted fns so each call reuses the same trace instead of re-jitting
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(model, cfg))
+    if prep is None:
+        prep = jax.jit(lambda b: build_eval_inputs(b, cfg))
 
     per_class = {name: [] for name in cfg.class_names}
     n = 0
