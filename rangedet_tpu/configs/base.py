@@ -146,6 +146,13 @@ class RangeDetConfig:
     lr_steps: Sequence[int] = (12, 15)
     warmup_epochs: float = 2.0
     warmup_lr: float = 0.0
+    # OneCycle recipe knobs (utils/train_utils.py:28-93 defaults): with
+    # lr_mode="onecycle" the LR cosine-cycles low→peak→low/1e4 and the
+    # momentum/beta1 counter-cycles moms[0]→moms[1]→moms[0]
+    onecycle_div_factor: float = 10.0
+    onecycle_pct_start: float = 0.4
+    onecycle_moms: Tuple[float, float] = (0.95, 0.85)
+    adam_beta2: float = 0.999
 
     # ------------------------------------------------------------- data
     data_root: str = ""

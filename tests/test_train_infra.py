@@ -3,6 +3,7 @@ running metrics, width validation."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 
 from rangedet_tpu.configs import load_config
@@ -62,6 +63,107 @@ def test_step_and_onecycle_modes():
     oc = build_schedule(cfg.replace(lr_mode="onecycle"), 100)
     peak = max(float(oc(s)) for s in range(0, 1800, 50))
     assert peak == pytest.approx(cfg.base_lr, rel=0.05)
+
+
+def _ref_annealing_cos(start, end, pct):
+    """numpy transcription of OneCycleScheduler.annealing_cos
+    (reference utils/train_utils.py:46-52)."""
+    import math
+
+    return end + (start - end) / 2 * (math.cos(math.pi * pct) + 1)
+
+
+def test_onecycle_lr_matches_reference_formula():
+    """onecycle LR curve == the reference OneCycleScheduler phases
+    (utils/train_utils.py:28-62): cosine low->peak over pct_start, then
+    cosine peak->low/1e4; low = peak / div_factor."""
+    cfg = load_config("rangedet_veh_wo_aug_4_18e", True).replace(
+        lr_mode="onecycle", warmup_epochs=0)
+    total, peak = 1800, cfg.base_lr
+    warm = int(total * cfg.onecycle_pct_start)
+    low = peak / cfg.onecycle_div_factor
+    sched = build_schedule(cfg, steps_per_epoch=100)
+    for s in (0, warm // 2, warm, warm + 1, total // 2, total):
+        if s <= warm:
+            want = _ref_annealing_cos(low, peak, s / warm)
+        else:
+            want = _ref_annealing_cos(peak, low / 1e4,
+                                      (s - warm) / (total - warm))
+        assert float(sched(s)) == pytest.approx(want, rel=1e-5), s
+
+
+def test_onecycle_momentum_matches_reference_formula():
+    """OneCycleMomentumScheduler (utils/train_utils.py:65-93): momentum
+    anneals moms[0]->moms[1] during the LR ramp, back to moms[0] after."""
+    from rangedet_tpu.train.schedule import onecycle_momentum_schedule
+
+    total, moms, pct = 1000, (0.95, 0.85), 0.4
+    warm = int(total * pct)
+    sched = onecycle_momentum_schedule(total, moms, pct)
+    for s in (0, warm // 2, warm, warm + 1, 700, total):
+        if s <= warm:
+            want = _ref_annealing_cos(moms[0], moms[1], s / warm)
+        else:
+            want = _ref_annealing_cos(moms[1], moms[0],
+                                      (s - warm) / (total - warm))
+        assert float(sched(s)) == pytest.approx(want, rel=1e-5), s
+    # counter-phase to the LR: lowest momentum at the LR peak
+    assert float(sched(warm)) == pytest.approx(moms[1])
+    assert float(sched(0)) == pytest.approx(moms[0])
+
+
+def test_onecycle_sgd_momentum_is_injected():
+    """With lr_mode=onecycle, the SGD momentum hyperparameter cycles: two
+    one-step updates at different counts must use different momenta."""
+    cfg = tiny_config().replace(
+        lr_mode="onecycle", optimizer="sgd", base_lr=1.0, weight_decay=0.0,
+        clip_gradient=100.0, begin_epoch=0, end_epoch=10,
+    )
+    tx, _ = build_optimizer(cfg, steps_per_epoch=100)
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    g = {"w": jnp.asarray([1.0, 1.0])}
+    # step 1 builds the trace; step 2's update reveals the applied momentum:
+    # u2 = -lr2 * (g + m2 * trace1) with trace1 = g
+    _, state = tx.update(g, state, params)
+    u2, state = tx.update(g, state, params)
+    from rangedet_tpu.train.schedule import (
+        onecycle_momentum_schedule,
+        onecycle_schedule,
+    )
+
+    lr2 = float(onecycle_schedule(1000, 1.0)(1))
+    m2 = float(onecycle_momentum_schedule(1000)(1))
+    np.testing.assert_allclose(
+        np.asarray(u2["w"]), -lr2 * (1.0 + m2 * 1.0) * np.ones(2), rtol=1e-5)
+
+
+def test_adamws_standardizes_conv_kernels():
+    """AdamWS (utils/train_utils.py:240-302): after each update, every 4-D
+    kernel has per-output-filter mean 0 / std 1; non-4D params are left to
+    plain AdamW."""
+    cfg = tiny_config().replace(
+        optimizer="adamws", lr_mode="constant", base_lr=1e-3,
+        weight_decay=0.0, clip_gradient=100.0,
+    )
+    tx, _ = build_optimizer(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    params = {
+        "conv": jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32),
+        "bias": jnp.asarray(rng.randn(8), jnp.float32),
+    }
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+    upd, state = tx.update(g, state, params)
+    new = optax.apply_updates(params, upd)
+    w = np.asarray(new["conv"])
+    np.testing.assert_allclose(w.mean(axis=(0, 1, 2)), 0.0, atol=1e-6)
+    centered_sq = (w - w.mean(axis=(0, 1, 2), keepdims=True)) ** 2
+    np.testing.assert_allclose(
+        np.sqrt(centered_sq.mean(axis=(0, 1, 2))), 1.0, rtol=1e-4)
+    # bias changed but was not standardized
+    assert not np.allclose(np.asarray(new["bias"]), np.asarray(params["bias"]))
 
 
 def test_elementwise_grad_clip():
@@ -205,7 +307,7 @@ def test_run_validation_synthetic_branch():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
-    from train import run_validation
+    from train import build_validation
 
     from rangedet_tpu.data.synthetic import make_batch
     from rangedet_tpu.models import RangeDet
@@ -219,8 +321,8 @@ def test_run_validation_synthetic_branch():
     model = RangeDet(**cfg.model_kwargs())
     tx, _ = build_optimizer(cfg, steps_per_epoch=10)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
-    args = argparse.Namespace(synthetic=True)
-    metrics = run_validation(state, model, cfg, args, epoch=0, n_frames=2)
+    args = argparse.Namespace(synthetic=True, device_cache=False)
+    metrics = build_validation(model, cfg, args, n_frames=2)(state)
     assert set(metrics) == set(cfg.class_names)
     for name, m in metrics.items():
         assert np.isfinite(m["ap"]), (name, m)

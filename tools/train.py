@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic scenes (smoke/bench)")
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="override cfg.batch_image (per-chip train batch)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
@@ -115,6 +117,8 @@ def main():
         if args.sampling_rate < 1:
             raise SystemExit("--sampling-rate must be >= 1")
         cfg = cfg.replace(sampling_rate=args.sampling_rate)
+    if args.batch:
+        cfg = cfg.replace(batch_image=args.batch)
     if args.epochs:
         cfg = cfg.replace(end_epoch=args.epochs)
     if args.checkpoint_every is not None:
