@@ -285,10 +285,12 @@ def main():
     if args.synthetic or not cfg.data_root:
         sample = make_sample(cfg, global_batch)
     elif args.device_cache:
+        # the cache is an explicit ARGUMENT everywhere (closing over device
+        # arrays would bake 3.8 GB of lowered constants into the program)
         sample_expand = jax.jit(
-            lambda idx: expand_inputs(gather_packed(cache, idx), data_w)
+            lambda c, idx: expand_inputs(gather_packed(c, idx), data_w)
         )
-        sample = sample_expand(next(iter(epoch_batches(0))))
+        sample = sample_expand(cache, next(iter(epoch_batches(0))))
     else:
         sample = next(iter(epoch_batches(0)))
     state = create_train_state(
@@ -308,11 +310,12 @@ def main():
     base_step_fn = build_train_step_fn(model, cfg, mesh)
     if args.device_cache and cfg.data_root and not args.synthetic:
 
-        def cached_step(state, idx):
-            batch = expand_inputs(gather_packed(cache, idx), data_w)
+        def cached_step(state, c, idx):
+            batch = expand_inputs(gather_packed(c, idx), data_w)
             return base_step_fn(state, batch)
 
-        train_step = jax.jit(cached_step, donate_argnums=0)
+        _cached = jax.jit(cached_step, donate_argnums=0)
+        train_step = lambda state, idx: _cached(state, cache, idx)  # noqa: E731
     else:
         train_step = jax.jit(base_step_fn, donate_argnums=0)
 
@@ -422,12 +425,12 @@ def build_validation(model, cfg, args, n_frames=8):
                     for rec in roidb
                 ]).items()
             }
-            expand1 = jax.jit(lambda i: expand_inputs(
-                gather_packed(vcache, i[None]), data_w))
+            expand1 = jax.jit(lambda c, i: expand_inputs(
+                gather_packed(c, i[None]), data_w))
 
             def frames():
                 for i, rec in enumerate(roidb):
-                    yield expand1(jnp.int32(i)), gt_of(rec)
+                    yield expand1(vcache, jnp.int32(i)), gt_of(rec)
         else:
 
             def frames():
