@@ -101,6 +101,8 @@ def make_frame_vehicles(
     r_range=None,
     inclination=None,
     azimuth=None,
+    num_clutter: int = 0,
+    clutter_r=(5.0, 70.0),
 ) -> Dict[str, np.ndarray]:
     """One unpadded frame with RAYTRACED vehicle-like boxes.
 
@@ -140,16 +142,26 @@ def make_frame_vehicles(
     incl_grid = np.broadcast_to(inclination[:, None], (H, W))
     az_grid = np.broadcast_to(azimuth[None, :], (H, W))
 
+    # unlabeled clutter (poles / wall segments — synthetic_device.CLUTTER_DIMS
+    # twin): z-buffered like objects, excluded from GT, background intensity
+    CLUTTER = (((0.15, 0.4), (0.15, 0.4), (2.0, 6.0)),
+               ((3.0, 10.0), (0.2, 0.5), (1.5, 3.5)))
+    total = num_boxes + num_clutter
     gt_csa = np.zeros((num_boxes, 7), np.float32)
     gt_class = np.zeros((num_boxes,), np.float32)
-    box_t = np.full((H, W, num_boxes), np.inf, np.float32)
+    box_t = np.full((H, W, total), np.inf, np.float32)
 
-    for b in range(num_boxes):
-        cls_b = int(rng.choice(class_choices))
-        # explicit dims/r_range override the per-class family tables
-        dims_b, rr_b = CLASS_FAMILIES.get(cls_b, CLASS_FAMILIES[1])
-        dims_b = dims if dims is not None else dims_b
-        rr_b = r_range if r_range is not None else rr_b
+    for b in range(total):
+        is_clutter = b >= num_boxes
+        if is_clutter:
+            dims_b = CLUTTER[rng.randint(len(CLUTTER))]
+            rr_b = clutter_r
+        else:
+            cls_b = int(rng.choice(class_choices))
+            # explicit dims/r_range override the per-class family tables
+            dims_b, rr_b = CLASS_FAMILIES.get(cls_b, CLASS_FAMILIES[1])
+            dims_b = dims if dims is not None else dims_b
+            rr_b = r_range if r_range is not None else rr_b
         r = rng.uniform(*rr_b)
         az_c = rng.uniform(-np.pi * 0.9, np.pi * 0.9)
         row = rng.randint(H // 4, 3 * H // 4)
@@ -168,8 +180,9 @@ def make_frame_vehicles(
         cx = r * np.cos(incl_c) * np.cos(az_c)
         cy = r * np.cos(incl_c) * np.sin(az_c)
         cz = r * np.sin(incl_c)
-        gt_csa[b] = [cx, cy, cz, length, width, height, yaw]
-        gt_class[b] = cls_b
+        if not is_clutter:
+            gt_csa[b] = [cx, cy, cz, length, width, height, yaw]
+            gt_class[b] = cls_b
 
         # restrict the exact intersection to the box's angular window
         half_diag = 0.5 * np.hypot(length, width) + 0.3
@@ -219,15 +232,17 @@ def make_frame_vehicles(
         bg_sub = bg[np.ix_(rows, cols)]
         bg[np.ix_(rows, cols)] = np.where(hit, np.maximum(bg_sub, wall), bg_sub)
 
-    owner = np.argmin(box_t, axis=-1)  # (H, W)
+    owner = np.argmin(box_t, axis=-1)  # (H, W); clutter ids are >= num_boxes
     t_best = np.min(box_t, axis=-1)
     object_px = np.isfinite(t_best) & (t_best < bg)
     rng_img = np.where(object_px, t_best, bg).astype(np.float32)
     mask = np.where(object_px, 1.0, mask).astype(np.float32)
     owner = np.where(object_px, owner, -1)
+    real_px = object_px & (owner < num_boxes)
     gt_num_points = np.bincount(
-        owner[owner >= 0].ravel(), minlength=num_boxes
-    ).astype(np.float32)
+        owner[(owner >= 0) & (owner < num_boxes)].ravel(),
+        minlength=num_boxes,
+    ).astype(np.float32)[:num_boxes]
 
     rng_img = np.clip(rng_img, 1.0, 79.0)
     x = rng_img * np.cos(incl_grid) * np.cos(az_grid)
@@ -238,7 +253,7 @@ def make_frame_vehicles(
     return dict(
         range_value=rng_img * mask,
         intensity=np.where(
-            object_px, rng.uniform(0.4, 1.0, (H, W)), rng.uniform(0, 0.4, (H, W))
+            real_px, rng.uniform(0.4, 1.0, (H, W)), rng.uniform(0, 0.4, (H, W))
         ).astype(np.float32),
         elongation=rng.uniform(0, 0.3, (H, W)).astype(np.float32),
         pc=pc,

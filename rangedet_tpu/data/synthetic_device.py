@@ -31,6 +31,15 @@ def _clip_and_norm_jnp(name: str, v: jnp.ndarray) -> jnp.ndarray:
 
 
 VEHICLE_DIMS = ((3.6, 5.4), (1.7, 2.1), (1.5, 2.0))  # (l, w, h) ranges
+# unlabeled clutter families (poles / wall segments): rendered and
+# z-buffered like objects — they occlude and add vertical structure — but
+# excluded from GT and painted with BACKGROUND intensity, so geometry (not
+# an intensity shortcut) must separate them from real objects. Used by the
+# far-range / hard-scene probes (VERDICT r4 weak #2).
+CLUTTER_DIMS = (
+    ((0.15, 0.4), (0.15, 0.4), (2.0, 6.0)),   # pole
+    ((3.0, 10.0), (0.2, 0.5), (1.5, 3.5)),    # wall / fence segment
+)
 # mildly rectangular footprint so yaw stays identifiable under the
 # canonical [-pi/2, pi/2) convention (a square footprint would be
 # pi/2-symmetric and make even canonical yaw bimodal); heights are
@@ -46,6 +55,7 @@ CYC_DIMS = ((1.6, 2.0), (0.5, 0.8), (1.4, 1.8))
     static_argnames=(
         "H", "W", "pad_w", "max_gt", "num_boxes", "B",
         "dims", "r_range", "class_value", "families",
+        "num_clutter", "clutter_r",
     ),
 )
 def make_batch_device(
@@ -60,6 +70,8 @@ def make_batch_device(
     r_range=(8.0, 50.0),
     class_value: float = 1.0,
     families=None,
+    num_clutter: int = 0,
+    clutter_r=(5.0, 70.0),
 ) -> Dict[str, jnp.ndarray]:
     """Batched training dict matching build_train_targets' contract, rendered
     on device. All outputs f32 (inputs are cast to bf16 by the model).
@@ -68,7 +80,12 @@ def make_batch_device(
     PED_DIMS / CYC_DIMS select the scene family; ``class_value`` is written
     into gt_class (Waymo enum: 1=veh, 2=ped, 4=cyc). For MIXED scenes pass
     ``families`` — a tuple of (dims, r_range, class_value) triples — and each
-    box independently draws a family (multiclass recipes)."""
+    box independently draws a family (multiclass recipes).
+
+    ``num_clutter`` adds that many UNLABELED clutter cuboids (CLUTTER_DIMS:
+    poles / wall segments over ``clutter_r``): z-buffered into the scene like
+    objects (they occlude real boxes) but excluded from GT and painted with
+    background intensity — the hard-scene knob for the far-range probes."""
     if families is None:
         families = ((dims, r_range, class_value),)
 
@@ -118,7 +135,6 @@ def make_batch_device(
             ks[4], (M,), jnp.float32, -jnp.pi * 0.9, jnp.pi * 0.9
         )
         row = jax.random.randint(ks[5], (M,), H // 4, 3 * H // 4)
-        incl_c = inclination[row]
         # canonical yaw in [-pi/2, pi/2) — see synthetic.py:make_frame_vehicles:
         # cuboids are pi-symmetric, so a full-circle yaw label is unlearnable
         # (bimodal Δyaw target) and held-out AP collapses; the canonical
@@ -126,10 +142,36 @@ def make_batch_device(
         yaw = jax.random.uniform(
             ks[9], (M,), jnp.float32, -jnp.pi / 2, jnp.pi / 2
         )
+
+        if num_clutter:
+            kc = jax.random.split(ks[7], 5)
+            C = num_clutter
+            c_lo = jnp.asarray(
+                [[d[0][0], d[1][0], d[2][0], clutter_r[0]]
+                 for d in CLUTTER_DIMS], jnp.float32)
+            c_hi = jnp.asarray(
+                [[d[0][1], d[1][1], d[2][1], clutter_r[1]]
+                 for d in CLUTTER_DIMS], jnp.float32)
+            cf = jax.random.randint(kc[0], (C,), 0, len(CLUTTER_DIMS))
+            cu = jax.random.uniform(kc[1], (C, 4), jnp.float32)
+            clwhr = c_lo[cf] + cu * (c_hi[cf] - c_lo[cf])
+            length = jnp.concatenate([length, clwhr[:, 0]])
+            width = jnp.concatenate([width, clwhr[:, 1]])
+            height = jnp.concatenate([height, clwhr[:, 2]])
+            r = jnp.concatenate([r, clwhr[:, 3]])
+            az_c = jnp.concatenate([az_c, jax.random.uniform(
+                kc[2], (C,), jnp.float32, -jnp.pi * 0.9, jnp.pi * 0.9)])
+            row = jnp.concatenate([row, jax.random.randint(
+                kc[3], (C,), H // 4, 3 * H // 4)])
+            yaw = jnp.concatenate([yaw, jax.random.uniform(
+                kc[4], (C,), jnp.float32, -jnp.pi / 2, jnp.pi / 2)])
+
+        incl_c = inclination[row]
         cx = r * jnp.cos(incl_c) * jnp.cos(az_c)
         cy = r * jnp.cos(incl_c) * jnp.sin(az_c)
         cz = r * jnp.sin(incl_c)
-        gt_csa = jnp.stack([cx, cy, cz, length, width, height, yaw], axis=1)
+        gt_csa = jnp.stack(
+            [cx, cy, cz, length, width, height, yaw], axis=1)[:M]
 
         # slab ray-OBB intersection, all pixels × all boxes
         cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
@@ -158,13 +200,14 @@ def make_batch_device(
         box_t = jnp.where(hit, t_hit, jnp.inf)
 
         # background wall a few meters behind each object's silhouette
-        wall_gap = jax.random.uniform(ks[10], (M,), jnp.float32, 2.0, 8.0)
+        wall_gap = jax.random.uniform(
+            ks[10], (M + num_clutter,), jnp.float32, 2.0, 8.0)
         wall = jnp.where(hit, t_exit, 0.0).max(axis=(1, 2)) + wall_gap  # (M,)
         bg = jnp.maximum(
             bg, jnp.max(jnp.where(hit, wall[:, None, None], 0.0), axis=0)
         )
 
-        owner = jnp.argmin(box_t, axis=0)  # (H, W)
+        owner = jnp.argmin(box_t, axis=0)  # (H, W); clutter ids are >= M
         t_best = jnp.min(box_t, axis=0)
         object_px = jnp.isfinite(t_best) & (t_best < bg)
         rng_img = jnp.where(object_px, t_best, bg)
@@ -178,8 +221,9 @@ def make_batch_device(
         rng_img = jnp.clip(rng_img, 1.0, 79.0)
         pc = rng_img[..., None] * d * mask[..., None]
 
+        # clutter pixels deliberately take the BACKGROUND intensity band
         intensity = jnp.where(
-            object_px,
+            object_px & (owner < M),
             jax.random.uniform(ks[11], (H, W), jnp.float32, 0.4, 1.0),
             jax.random.uniform(ks[12], (H, W), jnp.float32, 0.0, 0.4),
         )

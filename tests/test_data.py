@@ -237,3 +237,77 @@ def test_synthetic_device_mixed_families():
     # vehicle-sized lengths only for class-1 boxes
     assert (csa[cls == 1.0][:, 3] >= 3.6).all()
     assert (csa[cls == 2.0][:, 3] <= 1.2).all()
+
+
+def test_synthetic_device_clutter_and_far():
+    """Clutter + far-range scene knobs (VERDICT r4 weak #2): unlabeled
+    poles/walls are rendered (occluding geometry) but never enter GT;
+    far-family boxes reach past 50 m and still paint enough pixels for the
+    census invariant to hold."""
+    import jax
+    import jax.numpy as jnp
+    from rangedet_tpu.data.synthetic_device import (
+        VEHICLE_DIMS,
+        make_batch_device,
+    )
+    from rangedet_tpu.ops import assigner, boxes
+
+    b = make_batch_device(
+        jax.random.PRNGKey(11), B=2, H=32, W=1024, pad_w=1024, max_gt=16,
+        num_boxes=5, dims=VEHICLE_DIMS, r_range=(8.0, 68.0),
+        num_clutter=6,
+    )
+    base = make_batch_device(
+        jax.random.PRNGKey(11), B=2, H=32, W=1024, pad_w=1024, max_gt=16,
+        num_boxes=5, dims=VEHICLE_DIMS, r_range=(8.0, 68.0),
+    )
+    assert np.isfinite(np.asarray(b["input_data"])).all()
+    # clutter never enters GT: identical boxes with and without it
+    np.testing.assert_array_equal(
+        np.asarray(b["gt_csa"]), np.asarray(base["gt_csa"]))
+    np.testing.assert_array_equal(
+        np.asarray(b["gt_valid"]), np.asarray(base["gt_valid"]))
+    # clutter paints real extra geometry somewhere in the batch
+    assert float(jnp.abs(b["unnorm_range"] - base["unnorm_range"]).max()) > 1.0
+    painted_r = []
+    for f in range(2):
+        corners8 = boxes.csa_to_corners3d(b["gt_csa"][f])
+        idx = np.asarray(
+            assigner.assign_points_to_boxes(
+                jnp.asarray(b["pc"][f].reshape(-1, 3)), corners8,
+                jnp.asarray(b["mask"][f].reshape(-1)),
+                box_valid=b["gt_valid"][f],
+            )
+        )
+        counts = np.bincount(idx[idx >= 0], minlength=16).astype(np.float32)
+        np.testing.assert_array_equal(
+            counts, np.asarray(b["gt_num_points"][f]))
+        gt = np.asarray(b["gt_csa"][f][:5])
+        painted_r.append(np.linalg.norm(gt[:, :2], axis=1))
+    # the far family actually reaches past 50 m in this fixed-seed batch
+    assert np.concatenate(painted_r).max() > 50.0
+
+
+def test_synthetic_host_clutter_matches_invariants():
+    """Host twin of the clutter knob (data/synthetic.py): same exclusion
+    from GT + census invariant."""
+    import jax.numpy as jnp
+    from rangedet_tpu.data.synthetic import make_frame_vehicles
+    from rangedet_tpu.ops import assigner, boxes
+
+    rng = np.random.RandomState(5)
+    frame = make_frame_vehicles(
+        rng, H=32, W=1024, num_boxes=5, r_range=(8.0, 68.0), num_clutter=6)
+    assert frame["gt_csa"].shape == (5, 7)
+    corners8 = np.asarray(
+        boxes.csa_to_corners3d(jnp.asarray(frame["gt_csa"])))
+    idx = np.asarray(
+        assigner.assign_points_to_boxes(
+            jnp.asarray(frame["pc"].reshape(-1, 3)),
+            jnp.asarray(corners8),
+            jnp.asarray(frame["mask"].reshape(-1)),
+        )
+    )
+    counts = np.bincount(idx[idx >= 0], minlength=5).astype(np.float32)
+    np.testing.assert_array_equal(counts, frame["gt_num_points"])
+    assert counts.sum() > 0
