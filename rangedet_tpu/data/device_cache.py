@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,15 +104,11 @@ def _norm(name, v):
     return (v - mean) / np.sqrt(var)
 
 
-def expand_inputs(packed: Dict[str, jnp.ndarray], valid_w: int,
-                  valid_h: int = 0) -> Dict[str, jnp.ndarray]:
-    """Reconstruct the full training-batch dict from a BATCHED packed dict
-    (leading batch dim on every field) on device, inside jit.
-
-    ``valid_w`` (and ``valid_h`` when the row axis is padded too) is the
-    unpadded image extent: pixels beyond it are forced to exact zeros,
-    matching record_to_inputs' zero padding.
-    """
+def unpack_raw(packed: Dict[str, jnp.ndarray], valid_w: int,
+               valid_h: int = 0) -> Dict[str, jnp.ndarray]:
+    """Dequantize a BATCHED packed dict to the raw per-pixel fields (on
+    device). Padded pixels (beyond ``valid_w``/``valid_h``) are forced to
+    exact zeros, matching record_to_inputs' zero padding."""
     flags = packed["flags"]
     B, H, Wp = flags.shape
     col_ok = (jnp.arange(Wp) < valid_w)[None, None, :]
@@ -128,23 +125,42 @@ def expand_inputs(packed: Dict[str, jnp.ndarray], valid_w: int,
     # mask-0 pixels: car-window fill 0 or background fill 80
     rng = jnp.where(mask, rng, jnp.where(zero_bit, 0.0, 80.0))
     rng = jnp.where(col_ok, rng, 0.0)
-    intensity = packed["intensity_q"].astype(jnp.float32) / 255.0
-    elongation = packed["elongation_q"].astype(jnp.float32) / 255.0
-    incl = jnp.broadcast_to(packed["inclination"][:, :, None], (B, H, Wp))
-    azimuth = jnp.arctan2(pc[..., 1], pc[..., 0])
+    return dict(
+        range_value=rng,
+        intensity=packed["intensity_q"].astype(jnp.float32) / 255.0,
+        elongation=packed["elongation_q"].astype(jnp.float32) / 255.0,
+        pc=pc,
+        mask=mask,
+        is_in_nlz=jnp.where(nlz_bit, 1.0, -1.0),
+        inclination=jnp.broadcast_to(
+            packed["inclination"][:, :, None], (B, H, Wp)),
+        col_ok=col_ok,
+        gt_csa=packed["gt_csa"],
+        gt_class=packed["gt_class"],
+        gt_valid=packed["gt_valid"],
+        **({"gt_num_points": packed["gt_num_points"]}
+           if "gt_num_points" in packed else {}),
+    )
 
-    maskf = mask.astype(jnp.float32)
-    raw = {
+
+def finalize_inputs(raw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Normalize/stack/zero-pad the raw fields into the training-batch
+    contract — the device twin of record_to_inputs' tail (data/waymo.py)."""
+    col_ok = raw["col_ok"]
+    pc = raw["pc"]
+    rng = raw["range_value"]
+    maskf = raw["mask"].astype(jnp.float32)
+    chans = {
         "range_value": rng,
-        "intensity": intensity,
-        "elongation": elongation,
+        "intensity": raw["intensity"],
+        "elongation": raw["elongation"],
         "x": pc[..., 0],
         "y": pc[..., 1],
         "z": pc[..., 2],
-        "inclination": incl,
-        "azimuth": azimuth,
+        "inclination": raw["inclination"],
+        "azimuth": jnp.arctan2(pc[..., 1], pc[..., 0]),
     }
-    input_data = jnp.stack([_norm(n, raw[n]) for n in CHANNELS], axis=-1)
+    input_data = jnp.stack([_norm(n, chans[n]) for n in CHANNELS], axis=-1)
     input_data = jnp.where(col_ok[..., None], input_data, 0.0)
 
     out = dict(
@@ -154,14 +170,89 @@ def expand_inputs(packed: Dict[str, jnp.ndarray], valid_w: int,
         mask=maskf[..., None],
         unnorm_range=(jnp.clip(rng, 0.0, 80.0) * maskf)[..., None],
         # padded pixels carry 0.0 (record_to_inputs zero-pads every plane)
-        is_in_nlz=jnp.where(
-            col_ok, jnp.where(nlz_bit, 1.0, -1.0), 0.0)[..., None],
-        gt_csa=packed["gt_csa"],
-        gt_class=packed["gt_class"],
-        gt_valid=packed["gt_valid"],
+        is_in_nlz=jnp.where(col_ok, raw["is_in_nlz"], 0.0)[..., None],
+        gt_csa=raw["gt_csa"],
+        gt_class=raw["gt_class"],
+        gt_valid=raw["gt_valid"],
     )
-    if "gt_num_points" in packed:
-        out["gt_num_points"] = packed["gt_num_points"]
+    if "gt_num_points" in raw:
+        out["gt_num_points"] = raw["gt_num_points"]
+    return out
+
+
+def expand_inputs(packed: Dict[str, jnp.ndarray], valid_w: int,
+                  valid_h: int = 0) -> Dict[str, jnp.ndarray]:
+    """Reconstruct the full training-batch dict from a BATCHED packed dict
+    (leading batch dim on every field) on device, inside jit."""
+    return finalize_inputs(unpack_raw(packed, valid_w, valid_h))
+
+
+def augment_raw(raw: Dict[str, jnp.ndarray], valid_w: int, key=None,
+                names=("flip", "rotation"), do_flip=None, shift=None
+                ) -> Dict[str, jnp.ndarray]:
+    """ON-DEVICE geometric augmentation — the jnp twin of data/augment.py
+    (world_flip :34-56 / world_rotation :59-86), applied to unpack_raw's raw
+    fields inside the jitted train step so HBM-cached datasets still see
+    fresh geometry every epoch. Column ops wrap within the valid_w image
+    columns only (padding is untouched).
+
+    Randomness: pass ``key`` to draw per-frame (flip ~ Bernoulli(0.5),
+    rotation theta ~ U(-pi/4, pi/4) quantized to whole columns, exactly the
+    host op's lattice), or pass explicit ``do_flip`` (B,) bool / ``shift``
+    (B,) int32 for deterministic twins (the equality tests)."""
+    B, H, Wp = raw["mask"].shape
+    W = valid_w
+    if key is not None:
+        kf, kr = jax.random.split(key)
+        if do_flip is None and "flip" in names:
+            do_flip = jax.random.uniform(kf, (B,)) < 0.5
+        if shift is None and "rotation" in names:
+            theta = jax.random.uniform(
+                kr, (B,), jnp.float32, -jnp.pi / 4, jnp.pi / 4)
+            shift = jnp.round(theta / (2 * jnp.pi) * W).astype(jnp.int32)
+    if do_flip is None:
+        do_flip = jnp.zeros((B,), bool)
+    if shift is None:
+        shift = jnp.zeros((B,), jnp.int32)
+    theta = shift.astype(jnp.float32) * (2 * jnp.pi / W)
+
+    j = jnp.arange(Wp)
+    # host order is flip THEN rotation (apply_augmentations names order), so
+    # the composed source map is flip((j - shift) mod W); padding identity
+    src = jnp.where(j < W, (j[None, :] - shift[:, None]) % W, j[None, :])
+    src = jnp.where(do_flip[:, None] & (src < W), W - 1 - src, src)
+
+    def take_cols(a):  # (B, H, Wp, ...) gather along the column axis
+        return jnp.take_along_axis(
+            a, src[:, None, :].reshape((B, 1, Wp) + (1,) * (a.ndim - 3)),
+            axis=2,
+        )
+
+    out = dict(raw)
+    for k in ("range_value", "intensity", "elongation", "mask",
+              "is_in_nlz", "inclination"):
+        out[k] = take_cols(raw[k])
+    pc = take_cols(raw["pc"])
+    # flip: y -> -y; then rotate about z by theta
+    y = jnp.where(do_flip[:, None, None], -pc[..., 1], pc[..., 1])
+    c, s = jnp.cos(theta)[:, None, None], jnp.sin(theta)[:, None, None]
+    out["pc"] = jnp.stack(
+        [c * pc[..., 0] - s * y, s * pc[..., 0] + c * y, pc[..., 2]],
+        axis=-1,
+    )
+
+    gt = raw["gt_csa"]
+    gy = jnp.where(do_flip[:, None], -gt[:, :, 1], gt[:, :, 1])
+    gyaw = jnp.where(do_flip[:, None], -gt[:, :, 6], gt[:, :, 6])
+    cb, sb = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+    # padded (invalid) rows stay all-zero, as the host pads AFTER augmenting
+    gvalid = raw["gt_valid"]
+    out["gt_csa"] = jnp.stack(
+        [cb * gt[:, :, 0] - sb * gy, sb * gt[:, :, 0] + cb * gy,
+         gt[:, :, 2], gt[:, :, 3], gt[:, :, 4], gt[:, :, 5],
+         (gyaw + theta[:, None]) * gvalid],
+        axis=-1,
+    )
     return out
 
 

@@ -102,3 +102,79 @@ def test_gather_selects_frames():
         {k: np.asarray(v)[np.array([2, 0])] for k, v in cache.items()}, W)
     for k in out:
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+
+def test_device_augment_matches_host_augment():
+    """augment_raw (device twin) == data/augment.py host path through the
+    full pipeline: record_to_inputs(augment=...) with a known RandomState vs
+    pack -> unpack_raw -> augment_raw(explicit matched draws) -> finalize,
+    within the codec's quantization budget."""
+    import jax.numpy as jnp
+
+    from rangedet_tpu.data.device_cache import (
+        augment_raw,
+        finalize_inputs,
+        unpack_raw,
+    )
+    from rangedet_tpu.data.waymo import record_to_inputs as r2i
+
+    recs = _records(2, seed0=60)
+    seed = 123
+    # replicate the host draw sequence (world_flip: one uniform; rotation:
+    # one uniform theta -> column-quantized shift)
+    flips, shifts = [], []
+    for i in range(2):
+        r = np.random.RandomState(seed + i)
+        flips.append(bool(r.uniform() < 0.5))
+        theta = float(r.uniform(-np.pi / 4, np.pi / 4))
+        shifts.append(int(round(theta / (2 * np.pi) * W)))
+
+    host = [
+        r2i(recs[i], (H, PAD_W), 20, augment=("flip", "rotation"),
+            aug_rng=np.random.RandomState(seed + i))
+        for i in range(2)
+    ]
+    ref = {k: np.stack([h[k] for h in host]) for k in host[0]}
+
+    packed = stack_packed(
+        [pack_inputs(r2i(r, (H, PAD_W), 20)) for r in recs])
+    raw = unpack_raw({k: jnp.asarray(v) for k, v in packed.items()}, W)
+    raw = augment_raw(raw, W, do_flip=jnp.asarray(flips),
+                      shift=jnp.asarray(shifts, jnp.int32))
+    out = {k: np.asarray(v) for k, v in finalize_inputs(raw).items()}
+
+    assert any(flips) or any(s != 0 for s in shifts)  # non-trivial case
+    for k in ("mask", "is_in_nlz", "gt_class", "gt_valid"):
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+    np.testing.assert_allclose(out["gt_csa"], ref["gt_csa"], atol=1e-5)
+    np.testing.assert_allclose(out["pc"], ref["pc"], atol=4e-3)
+    np.testing.assert_allclose(out["unnorm_range"], ref["unnorm_range"],
+                               atol=2e-3)
+    err = np.abs(out["input_data"] - ref["input_data"])
+    # azimuth channel: tolerate the +-pi branch cut under quantization
+    err[..., 7] = np.minimum(
+        err[..., 7], np.abs(err[..., 7] - 2 * np.pi / np.sqrt(2.55)))
+    # bound = the largest per-channel quantization budget (intensity u8:
+    # half-step / sigma = (1/255)/2/0.1 = 0.0196)
+    assert err.max() < 2.1e-2, err.max()
+
+
+def test_device_augment_random_draws_shapes():
+    """Key-driven draws: flip is Bernoulli, shift stays within the +-W/8
+    column lattice of the host op's (-pi/4, pi/4) interval."""
+    import jax
+    import jax.numpy as jnp
+
+    from rangedet_tpu.data.device_cache import augment_raw, unpack_raw
+
+    recs = _records(2, seed0=70)
+    from rangedet_tpu.data.waymo import record_to_inputs as r2i
+
+    packed = stack_packed(
+        [pack_inputs(r2i(r, (H, PAD_W), 20)) for r in recs])
+    raw = unpack_raw({k: jnp.asarray(v) for k, v in packed.items()}, W)
+    out = augment_raw(raw, W, key=jax.random.PRNGKey(0))
+    assert out["pc"].shape == raw["pc"].shape
+    assert np.isfinite(np.asarray(out["pc"])).all()
+    # yaw moved on at least one frame (rotation applied)
+    assert (np.asarray(out["gt_csa"]) != np.asarray(raw["gt_csa"])).any()

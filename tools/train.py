@@ -52,6 +52,12 @@ def parse_args():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps at step 10")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--device-augment", default="",
+                   help="comma list of on-device augmentations for the "
+                        "--device-cache path (e.g. 'flip,rotation'): the "
+                        "jnp twin of data/augment.py applied inside the "
+                        "jitted step, fresh draws per step (equality-tested "
+                        "vs the host ops in tests/test_device_cache.py)")
     p.add_argument("--device-cache", action="store_true",
                    help="stage the whole (packed) dataset in device HBM once "
                         "and train every epoch with zero host↔device batch "
@@ -202,7 +208,8 @@ def main():
         import jax.numpy as jnp
 
         from rangedet_tpu.data.device_cache import (
-            expand_inputs, gather_packed, pack_inputs, stack_packed,
+            augment_raw, expand_inputs, finalize_inputs, gather_packed,
+            pack_inputs, stack_packed, unpack_raw,
         )
         from rangedet_tpu.data.waymo import load_roidbs, record_to_inputs
 
@@ -309,9 +316,17 @@ def main():
     # cfg.sync_bn selects GSPMD sync-BN or the shard_map local-BN parity step
     base_step_fn = build_train_step_fn(model, cfg, mesh)
     if args.device_cache and cfg.data_root and not args.synthetic:
+        aug_names = tuple(
+            n for n in args.device_augment.split(",") if n
+        )
 
         def cached_step(state, c, idx):
-            batch = expand_inputs(gather_packed(c, idx), data_w)
+            raw = unpack_raw(gather_packed(c, idx), data_w)
+            if aug_names:
+                akey = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 7), state.step)
+                raw = augment_raw(raw, data_w, key=akey, names=aug_names)
+            batch = finalize_inputs(raw)
             return base_step_fn(state, batch)
 
         _cached = jax.jit(cached_step, donate_argnums=0)
