@@ -89,6 +89,13 @@ class Speedometer:
     def _extra(self) -> str:
         return ""
 
+    @property
+    def due_next(self) -> bool:
+        """True when the NEXT __call__ will emit a log line — lets callers
+        compute call-time-only extras (e.g. the lr, a device fetch on the
+        tunneled backend) lazily for just that call."""
+        return (self._count + 1) % self.frequency == 0
+
     def __call__(self, epoch: int, step: int, metrics: Dict[str, float],
                  lr: Optional[float] = None, global_step: Optional[int] = None):
         self._count += 1

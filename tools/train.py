@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -212,8 +213,6 @@ def main():
         # (data/device_cache.py) and parked on device; epochs then train
         # with zero host↔device batch traffic — the TPU-native answer to
         # the tunnel's single-digit-MB/s host transfer path.
-        import jax.numpy as jnp
-
         from rangedet_tpu.data.device_cache import (
             augment_raw, expand_inputs, finalize_inputs, gather_packed,
             pack_inputs, stack_packed, unpack_raw,
@@ -370,6 +369,29 @@ def main():
         it = iter(batches)
         i = 0
         _end = object()
+        # Steps chain through the donated TrainState with NO per-step fetch
+        # (bench.py's steady-state dispatch); the window below is fetched in
+        # ONE round-trip per log_frequency steps. Each float() costs a ~33 ms
+        # tunnel round-trip (BENCH.md dispatch floor) — the old loop fetched
+        # every metric plus the lr per step, 8 round-trips that more than
+        # doubled the device-cache step time (394 ms observed vs ~180 ms
+        # compute).
+        pending = []  # rows of (batch_idx, global_step, device metrics dict)
+
+        def flush():
+            if not pending:
+                return
+            t_f = time.time()
+            keys = sorted(pending[0][2])
+            flat = jnp.stack([m[k] for _, _, m in pending for k in keys])
+            vals = np.asarray(flat).reshape(len(pending), len(keys))
+            speedometer.tick(0.0, time.time() - t_f)  # window sync -> step time
+            for r, (bi, gs, _) in enumerate(pending):
+                lr = float(sched(gs)) if speedometer.due_next else None
+                speedometer(epoch, bi, dict(zip(keys, vals[r])),
+                            lr=lr, global_step=gs)
+            pending.clear()
+
         while True:
             t0 = time.time()
             batch = next(it, _end)
@@ -378,16 +400,15 @@ def main():
             t1 = time.time()
             profiler(global_step)
             state, metrics = train_step(state, batch)
-            # scalar fetch = the per-step device sync (block_until_ready is
-            # unreliable on the tunneled backend); charged to step time
-            metrics = {k: float(v) for k, v in metrics.items()}
             speedometer.tick(t1 - t0, time.time() - t1)
-            speedometer(epoch, i, metrics, lr=float(sched(global_step)),
-                        global_step=global_step)
+            pending.append((i, global_step, metrics))
+            if len(pending) >= cfg.log_frequency:
+                flush()
             global_step += 1
             i += 1
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
+        flush()
         jax.block_until_ready(state.params)
         logger.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s")
         if (jax.process_index() == 0 and cfg.checkpoint_every_epochs
