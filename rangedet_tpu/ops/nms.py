@@ -179,38 +179,56 @@ def weighted_nms(
                 lambda j: _det_iou(dets11, dets11[j], iou_3d)
             )(sub)  # (B, K)
 
-            def emit(b, st):
-                suppressed, rows, row_valid, r = st
+            # Pass 1 — resolve the in-block greedy chain with TINY ops only
+            # (the old form ran the full O(K) voting/median body serially for
+            # every member, even ones killed in-block): a member survives iff
+            # alive at selection and not killed by an earlier in-block
+            # survivor; kill masks accumulate over the unrolled chain.
+            # (Every candidate positioned between two block members was
+            # already dead at selection time, so this replicates serial
+            # greedy — same argument as before.)
+            kill = jnp.zeros((K,), bool)
+            surv_l, alive_at_l = [], []
+            for b in range(B):
+                alive_b = alive0 & ~kill  # (K,) alive when member b emits
+                alive_at_l.append(alive_b)
+                s_b = sub_ok[b] & alive_b[sub[b]]
+                surv_l.append(s_b)
+                kill = kill | (
+                    s_b & ((iou_blk[b] >= thresh) | (arange == sub[b]))
+                )
+            surv = jnp.stack(surv_l)          # (B,)
+            alive_at = jnp.stack(alive_at_l)  # (B, K)
+
+            # Pass 2 — the expensive voting/median/average work for the
+            # whole block as ONE batched (B, K) pass instead of B serial
+            # O(K) bodies; non-survivors' rows are computed but dropped.
+            def vote(b):
                 pos = sub[b]
-                alive = valid & ~suppressed
-                # still alive after in-block suppression by earlier emits
-                # (every candidate between two block members was already
-                # dead at selection time, so this replicates serial greedy)
-                is_surv = sub_ok[b] & alive[pos] & (r < max_keep)
                 iou_row = iou_blk[b]
-                score_i = scores[pos]
-                yaw_i = yaw[pos]
-                voters = (alive & (iou_row > thresh_vote)) | (arange == pos)
+                voters = (
+                    alive_at[b] & (iou_row > thresh_vote)
+                ) | (arange == pos)
                 median = _median_yaw_presorted(
-                    voters[yaw_order], yaw_sorted, yaw_i
+                    voters[yaw_order], yaw_sorted, yaw[pos]
                 )
                 yaw_ok = jnp.mod(jnp.abs(yaw - median), TWO_PI) < YAW_REJECT
                 w = jnp.where(voters & yaw_ok, jnp.maximum(scores, 0.0), 0.0)
                 wsum = jnp.maximum(jnp.sum(w), 1e-12)
                 avg11 = jnp.sum(w[:, None] * dets11, axis=0) / wsum
-                row = jnp.concatenate([avg11, score_i[None]])
-                r_clip = jnp.minimum(r, max_keep - 1)
-                rows = jnp.where(is_surv, rows.at[r_clip].set(row), rows)
-                row_valid = jnp.where(
-                    is_surv, row_valid.at[r_clip].set(True), row_valid
-                )
-                new_sup = (
-                    suppressed | (alive & (iou_row >= thresh)) | (arange == pos)
-                )
-                suppressed = jnp.where(is_surv, new_sup, suppressed)
-                return suppressed, rows, row_valid, r + is_surv.astype(jnp.int32)
+                return jnp.concatenate([avg11, scores[pos][None]])
 
-            return jax.lax.fori_loop(0, B, emit, (suppressed, rows, row_valid, r))
+            blk_rows = jax.vmap(vote)(jnp.arange(B))  # (B, 12)
+
+            # emit surviving rows at their greedy ranks; slots past max_keep
+            # (or non-survivors, parked at slot max_keep) drop out-of-bounds
+            ranks = r + jnp.cumsum(surv.astype(jnp.int32)) - 1
+            slot = jnp.where(surv, ranks, max_keep)
+            rows = rows.at[slot].set(blk_rows, mode="drop")
+            row_valid = row_valid.at[slot].set(True, mode="drop")
+            suppressed = suppressed | kill
+            r = jnp.minimum(r + jnp.sum(surv.astype(jnp.int32)), max_keep)
+            return suppressed, rows, row_valid, r
 
         init = (
             ~valid,
