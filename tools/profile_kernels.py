@@ -37,14 +37,21 @@ def main():
         buffers (measured: a 2.4 ms conv read as 113 ms). A fori_loop inside
         a single jit runs the chain on device; one dispatch, one fetch.
         """
+        # the sync fetch must be a SCALAR: np.asarray(x) pulls the whole
+        # array over the ~12 MB/s tunnel (a 43 MB activation reads as
+        # 3.6 s — this bit the first r5 kernel profile, whose "timings"
+        # were pure transfer), so the chain reduces to one element on
+        # device and only that crosses the wire
         f = jax.jit(
-            lambda x: jax.lax.fori_loop(0, N, lambda _, a: step(a), x)
+            lambda x: jax.lax.fori_loop(
+                0, N, lambda _, a: step(a), x
+            ).ravel()[:1]
         )
         x = f(x0)  # compile
-        float(np.asarray(x).ravel()[0])
+        float(np.asarray(x)[0])
         t0 = time.perf_counter()
         x = f(x0)
-        float(np.asarray(x).ravel()[0])
+        float(np.asarray(x)[0])
         dt = (time.perf_counter() - t0) / N * 1000
         print(json.dumps({"part": name, "ms": round(dt, 3)}), flush=True)
 
