@@ -42,10 +42,47 @@ class PendingBN(NamedTuple):
     bias: jnp.ndarray   # f32 (C,)
 
     def materialize(self) -> jnp.ndarray:
-        yf = self.y.astype(jnp.float32)
-        a = yf * self.scale[None, None, :, None]
-        a = a + self.bias[None, None, :, None]
-        return jnp.maximum(a, 0.0).astype(self.y.dtype)
+        return _bn_relu_mat(self.y, self.scale, self.bias)
+
+
+@jax.custom_vjp
+def _bn_relu_mat(y, scale, bias):
+    yf = y.astype(jnp.float32)
+    a = yf * scale[None, None, :, None]
+    a = a + bias[None, None, :, None]
+    return jnp.maximum(a, 0.0).astype(y.dtype)
+
+
+def _bn_relu_mat_fwd(y, scale, bias):
+    return _bn_relu_mat(y, scale, bias), (y, scale, bias)
+
+
+def _bn_relu_mat_bwd(res, g):
+    """Backward with every full-size intermediate kept in ``y.dtype``.
+
+    Plain autodiff of materialize() runs the relu/affine backward in f32,
+    which makes XLA materialize the consumer's dgrad output (e.g. the head
+    1x1's [B,H,W,128] cotangent) as f32 plus a same-size layout copy —
+    ~2x the HBM traffic of the bf16 tensors the chain actually needs
+    (r5 device trace, BENCH.md). Here the big cotangent stays bf16: the
+    f32 math happens only inside the two fused computations (dy element-
+    wise; dscale/dbias reductions), never as a materialized tensor. The
+    forward value is bit-identical; dy differs from the f32-elementwise
+    form only by one bf16 rounding of (g*scale).
+    """
+    y, scale, bias = res
+    sb = scale[None, None, :, None]
+    yf = y.astype(jnp.float32)
+    pos = yf * sb + bias[None, None, :, None] > 0.0
+    gz = jnp.where(pos, g, jnp.zeros_like(g))          # y.dtype
+    dy = (gz.astype(jnp.float32) * sb).astype(y.dtype)
+    gzf = gz.astype(jnp.float32)
+    dscale = jnp.sum(gzf * yf, axis=(0, 1, 3))
+    dbias = jnp.sum(gzf, axis=(0, 1, 3))
+    return dy, dscale, dbias
+
+
+_bn_relu_mat.defvjp(_bn_relu_mat_fwd, _bn_relu_mat_bwd)
 
 
 MaybePending = Union[jnp.ndarray, PendingBN]
