@@ -81,10 +81,14 @@ def test_all_attempts_fail_emits_diagnostic_json(bench, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     rec = json.loads(out[0])
-    # driver-required keys present even on failure
+    # driver-required keys present even on failure; the sentinel is null
+    # (ADVICE r4: a 0.0 could be recorded as a measured result by a driver
+    # keying off the last stdout JSON line) plus an explicit error key
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec
-    assert rec["value"] == 0.0
+    assert rec["value"] is None
+    assert rec["vs_baseline"] is None
+    assert rec.get("error")
     assert len(rec["attempts"]) == bench.N_ATTEMPTS
     assert "FAILED_PRECONDITION" in rec["attempts"][0]["tail"]
 
