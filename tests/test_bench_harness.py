@@ -144,4 +144,5 @@ def test_garbage_stdout_with_rc0_is_a_failure(bench, monkeypatch, capsys):
     )
     assert bench.supervise() == 1
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["value"] == 0.0
+    assert rec["value"] is None
+    assert rec.get("error")
