@@ -85,7 +85,18 @@ def main():
     xplane = planes[-1]
     print("xplane:", xplane, flush=True)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception as e:  # plugin's bundled protos reject new protobuf
+        print(f"profile plugin unavailable ({e}); falling back to "
+              f"tools/parse_xplane.py aggregation", flush=True)
+        import subprocess
+
+        return subprocess.call([
+            sys.executable, os.path.join(os.path.dirname(__file__),
+                                         "parse_xplane.py"),
+            xplane, "--top", str(args.top), "--steps", str(args.steps),
+        ])
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(
         [xplane], "framework_op_stats^", {}
