@@ -4,9 +4,11 @@ and the CUDA ``mx.sym.contrib.NMS3D`` (operator_cxx/contrib/nms_3d.cu:380-534).
 
 The reference runs inference on GPU, syncs every frame to the host, and runs a
 sequential greedy weighted-NMS in C++ — the per-frame host round-trip is its
-throughput bottleneck (tools/test.py:176-234). Here the greedy sweep becomes a
-fixed-length ``lax.scan`` (``max_keep`` rounds) over score-sorted candidates,
-entirely on device, so decode → NMS → final boxes is one fused XLA program.
+throughput bottleneck (tools/test.py:176-234). Here the greedy sweep runs as
+an early-exiting ``lax.while_loop`` over score-sorted candidates — serially,
+or (default) in exact blocks of ``block`` candidates whose IoU rows batch
+into one matmul-friendly pass — entirely on device, so decode → NMS → final
+boxes is one fused XLA program.
 
 Weighted-NMS semantics replicated from wnms_4c:
   * candidates processed in descending score order;
