@@ -69,6 +69,33 @@ class AccWithIgnore(Metric):
         return self.name, self._correct / max(self._total, 1)
 
 
+class CeWithIgnore(Metric):
+    """Mean binary cross-entropy over a masked dense prediction
+    (detection_metric.py:115-158): -[t·log(p) + (1-t)·log(1-p)] averaged
+    over pixels whose mask is nonzero; completes the reference metric set."""
+
+    def __init__(self, name: str, score_key: str, target_key: str, mask_key: str):
+        self.name = name
+        self.keys = (score_key, target_key, mask_key)
+        self.reset()
+
+    def reset(self):
+        self._sum = 0.0
+        self._count = 0
+
+    def update(self, **outputs):
+        s, t, m = (np.asarray(outputs[k], np.float64) for k in self.keys)
+        valid = m > 0
+        p = np.clip(s, 1e-12, 1.0 - 1e-12)
+        pos = (t > 0).astype(np.float64)
+        ce = -(pos * np.log(p) + (1.0 - pos) * np.log(1.0 - p))
+        self._sum += float(ce[valid].sum())
+        self._count += int(valid.sum())
+
+    def get(self):
+        return self.name, self._sum / max(self._count, 1)
+
+
 class L1Metric(Metric):
     """Mean absolute regression error over weighted pixels
     (detection_metric.py:161-198)."""

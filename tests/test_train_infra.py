@@ -235,6 +235,22 @@ def test_running_metrics():
     assert "cls=" in comp.format()
 
 
+def test_ce_with_ignore_metric():
+    """CeWithIgnore matches the hand-computed masked BCE
+    (reference detection_metric.py:115-158)."""
+    from rangedet_tpu.utils.metrics import CeWithIgnore
+
+    m = CeWithIgnore("ce", "score", "target", "mask")
+    s = np.array([0.9, 0.1, 0.5, 0.7])
+    t = np.array([1.0, 0.0, 1.0, 0.0])
+    msk = np.array([1, 1, 1, 0])  # last pixel ignored
+    m.update(score=s, target=t, mask=msk)
+    want = -(np.log(0.9) + np.log(0.9) + np.log(0.5)) / 3
+    assert m.get()[1] == pytest.approx(want)
+    m.reset()
+    assert m.get()[1] == 0.0
+
+
 def test_width_divisibility_error():
     from rangedet_tpu.models import RangeDet
 
