@@ -244,7 +244,22 @@ def main():
     import create_prediction_bin_3d as bin_cli
 
     bin_cli.main(["--pred", pred, "--out", bin_path])
-    assert os.path.getsize(bin_path) > 0
+    # the gate is the CHAIN, not the detection count: an 8-epoch tiny model
+    # may legitimately emit zero detections above min_score (the serialized
+    # empty metrics_pb2.Objects is zero bytes — the reference would write
+    # the same); a non-empty prediction set must serialize non-empty
+    import pickle as _pickle
+
+    with open(pred, "rb") as f:
+        _pickle.load(f)            # annotation_dict (dump 1 of 2)
+        _od = _pickle.load(f)      # output_dict (reference 2-dump layout)
+    n_objects = sum(
+        len(arr) for rec in _od.values()
+        for arr in rec["det_xyzlwhyaws"].values()
+    )
+    assert os.path.exists(bin_path)
+    if n_objects > 0:
+        assert os.path.getsize(bin_path) > 0
 
     # ------------------------------------------------------ 6. scoring
     print("[rehearsal] scoring with eval/ap.py...", flush=True)
@@ -261,6 +276,7 @@ def main():
         "frames_val": args.frames_val,
         "epochs": args.epochs,
         "bin_bytes": os.path.getsize(bin_path),
+        "objects": n_objects,
         "ap": ap,
     }
     print(json.dumps(summary))
