@@ -79,6 +79,7 @@ if [ ! -f "$AUG_EXP/rangedet_veh_wo_aug_4_18e/checkpoints/epoch_0031/.done_marke
   [ -d "$AUG_EXP/rangedet_veh_wo_aug_4_18e/checkpoints" ] && resume="--resume"
   python -u tools/train.py --config rangedet_veh_wo_aug_4_18e \
     --data-root experiments/loader_quality_data/built --device-cache \
+    --sampling-rate 1 \
     --device-augment flip,rotation --experiment-dir "$AUG_EXP" \
     --epochs 32 --eval-every 4 --checkpoint-every 8 --tensorboard \
     $resume >> "$AUG_LOG" 2>&1 || note "loader_aug train FAILED (rc=$?)"
